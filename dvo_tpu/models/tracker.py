@@ -1,0 +1,202 @@
+"""Coarse-to-fine photometric Gauss-Newton tracking (the frontend).
+
+Reference: src/track/tracker.cpp (level/iteration driver) and
+src/track/optimize.cpp (per-pixel residual + 1x6 Jacobian, HOT LOOP #1,
+SURVEY.md §2 #14).
+
+TPU-first redesign of the reference's execution model:
+
+* The reference stacks per-pixel Jacobian rows into a dense (H*W, 6) matrix
+  and solves by SVD (optimize.cpp:17,97).  We never materialize it: the 6x6
+  normal matrix J^T J and gradient J^T (w r) are accumulated directly as two
+  small contractions (MXU matmuls) and solved by Cholesky — a (H*W, 6)
+  stack is pure HBM traffic for no information.
+* The reference's per-iteration early exits (residual / update-norm /
+  wall-clock, tracker.cpp:68-73) become a ``lax.scan`` over a fixed
+  iteration count with a convergence mask that freezes xi — identical
+  results (iterating past convergence applies ~zero updates), deterministic,
+  and jit-compilable.  The wall-clock exit is dropped (report, don't branch).
+* Per-pixel skip conditions (optimize.cpp:33-63) become one boolean mask.
+
+Sign convention: with r = I_ref(warp(-xi, x)) - I_obj(x) and the standard
+direct-method Jacobian J (optimize.cpp:67-77), dr/dxi = -J, so the GN update
+is delta = +(J^T J)^-1 J^T (w r) — this reproduces the reference's
+``-cv::solve(A, -B)`` double negation (optimize.cpp:97-98), and xi steps by
+right-composition: xi <- log(exp(xi) exp(delta)) (tracker.cpp:46).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dvo_tpu import lie
+from dvo_tpu.config import TrackerConfig
+from dvo_tpu.models.frame import Frame, Scene
+from dvo_tpu.ops.sampling import bilinear_dense, bilinear_masked
+from dvo_tpu.ops.warp import back_project, pixel_grid, warp_points
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TrackResult:
+    xi: jax.Array            # (6,) relative pose obj -> ref
+    residuals: jax.Array     # (levels, iters) mean squared residual per iter
+    update_norms: jax.Array  # (levels, iters)
+    valid_counts: jax.Array  # (levels, iters) int32
+    iterations: jax.Array    # (levels,) iterations actually used
+
+
+def gn_normal_equations(
+    obj: Scene,
+    ref: Scene,
+    xi: jax.Array,
+    level_index: int,
+    cfg: TrackerConfig,
+):
+    """One linearization: masked per-pixel residual + Jacobian, accumulated
+    to (H (6,6), g (6,), residual_sum, valid_count).
+
+    Mirrors optimize.cpp:28-90 exactly (gates, weighting, Jacobian), but
+    evaluates all pixels as dense vector ops and contracts on the MXU.
+    """
+    h, w = ref.shape
+    xs, ys = pixel_grid(h, w)
+    xy = jnp.stack([xs, ys], axis=-1)
+    depth = ref.depth
+
+    # --- warped source coordinates under exp(-xi) (optimize.cpp:51) ---
+    T_inv = lie.se3_exp(-xi)
+    warped_xy, in_front = warp_points(T_inv, xy, depth, ref.K)
+    wx, wy = warped_xy[..., 0], warped_xy[..., 1]
+
+    # --- gather samples ---
+    i2, i2_valid = bilinear_masked(ref.gray, ref.mask, wx, wy)
+    gx, _ = bilinear_dense(ref.gx, wx, wy)
+    gy, _ = bilinear_dense(ref.gy, wx, wy)
+    gmask_f, _ = bilinear_dense(ref.gmask.astype(jnp.float32), wx, wy)
+    grad_ok = gmask_f > 1.0 - 1e-4   # every contributing corner valid
+
+    # --- validity mask (optimize.cpp:33-63) ---
+    valid = depth >= cfg.min_depth                       # :39
+    valid &= obj.mask & i2_valid                         # :44-48 luminance
+    valid &= (wx >= 0) & (wx < w) & (wy >= 0) & (wy < h) # :51-56 bounds
+    valid &= in_front & grad_ok                          # :58-63 gradient
+    if level_index == cfg.crop_level:                    # :33-36 crop
+        x0, x1 = cfg.crop_x
+        y0, y1 = cfg.crop_y
+        valid &= (xs >= x0) & (xs <= x1) & (ys >= y0) & (ys <= y1)
+
+    # --- Jacobian (optimize.cpp:67-77) ---
+    pc = back_project(ref.K, xy, depth)
+    x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+    z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    fx, fy = ref.K[0, 0], ref.K[1, 1]
+    fgx = fx * gx
+    fgy = fy * gy
+    xz = x / z
+    yz = y / z
+    J = jnp.stack(
+        [
+            fgx / z,
+            fgy / z,
+            -(fgx * x + fgy * y) / (z * z),
+            -fgx * xz * yz - fgy * (1.0 + yz * yz),
+            fgx * (1.0 + xz * xz) + fgy * xz * yz,
+            -fgx * yz + fgy * xz,
+        ],
+        axis=-1,
+    )  # (H, W, 6)
+
+    r = i2 - obj.gray                                     # :79
+    step = cfg.level_steps[min(level_index, len(cfg.level_steps) - 1)]
+    weight = step / jnp.clip(ref.sigma, *cfg.sigma_clamp)  # :83-84
+
+    vf = valid.astype(jnp.float32)
+    Jm = J * vf[..., None]
+    if cfg.compat_weight_b_only:
+        # Faithful: weight enters the RHS only (optimize.cpp:87-89).
+        Hmat = jnp.einsum("hwi,hwj->ij", Jm, Jm)
+        g = jnp.einsum("hwi,hw->i", Jm, r * weight * vf)
+    else:
+        wf = weight * vf
+        Hmat = jnp.einsum("hwi,hwj->ij", Jm * wf[..., None], Jm)
+        g = jnp.einsum("hwi,hw->i", Jm, r * wf)
+    residual_sum = jnp.sum(r * r * vf)                    # :80
+    count = jnp.sum(valid.astype(jnp.int32))
+    return Hmat, g, residual_sum, count
+
+
+def gn_solve(Hmat, g, count, damping: float):
+    """delta = (H + lambda I)^-1 g; zero update when no valid pixels
+    (reference returns a zero twist then, optimize.cpp:93-94)."""
+    A = Hmat + damping * jnp.eye(6, dtype=Hmat.dtype)
+    delta = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(A), g)
+    return jnp.where(count > 0, delta, jnp.zeros_like(delta))
+
+
+def track_level(
+    obj: Scene,
+    ref: Scene,
+    xi0: jax.Array,
+    level_index: int,
+    cfg: TrackerConfig,
+):
+    """<= max_iterations GN steps at one pyramid level with convergence
+    masking (reference tracker.cpp:42-73).  Returns (xi, metrics)."""
+
+    def body(carry, _):
+        xi, done = carry
+        Hmat, g, rsum, count = gn_normal_equations(obj, ref, xi, level_index, cfg)
+        delta = gn_solve(Hmat, g, count, cfg.damping)
+        new_xi = lie.compose(xi, delta)
+        # NaN guard: keep previous xi on a bad update (tracker.cpp:47-51).
+        new_xi = jnp.where(lie.is_finite_xi(new_xi), new_xi, xi)
+        xi_out = jnp.where(done, xi, new_xi)
+
+        mean_res = jnp.where(count > 0, rsum / jnp.maximum(count, 1), -1.0)
+        upd = jnp.linalg.norm(delta)
+        # Convergence is evaluated *after* applying the update, as in the
+        # reference's post-update break (tracker.cpp:68-73).  count == 0
+        # also stops (residual -1 < threshold there).
+        converged = (upd < cfg.min_update_norm) | (mean_res < cfg.min_residual) | (count == 0)
+        new_done = done | converged
+        stats = (
+            jnp.where(done, 0.0, mean_res),
+            jnp.where(done, 0.0, upd),
+            jnp.where(done, 0, count),
+            (~done).astype(jnp.int32),
+        )
+        return (xi_out, new_done), stats
+
+    (xi, _), (res, upd, cnt, active) = lax.scan(
+        body, (xi0, jnp.asarray(False)), None, length=cfg.max_iterations
+    )
+    return xi, (res, upd, cnt, jnp.sum(active))
+
+
+def track(obj_frame: Frame, ref_frame: Frame, cfg: TrackerConfig = TrackerConfig()) -> TrackResult:
+    """Full coarse-to-fine track: level 0 (coarsest) -> finest, xi carried
+    across levels (reference tracker.cpp:22-84).  The level loop is
+    Python-unrolled under jit — levels have distinct static shapes."""
+    xi = jnp.zeros(6, jnp.float32)
+    res_l, upd_l, cnt_l, iters_l = [], [], [], []
+    for level in range(len(ref_frame.scenes)):
+        xi, (res, upd, cnt, iters) = track_level(
+            obj_frame.scenes[level], ref_frame.scenes[level], xi, level, cfg
+        )
+        res_l.append(res)
+        upd_l.append(upd)
+        cnt_l.append(cnt)
+        iters_l.append(iters)
+    return TrackResult(
+        xi=xi,
+        residuals=jnp.stack(res_l),
+        update_norms=jnp.stack(upd_l),
+        valid_counts=jnp.stack(cnt_l),
+        iterations=jnp.stack(iters_l),
+    )
