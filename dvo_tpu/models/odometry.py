@@ -1,0 +1,184 @@
+"""Visual odometry orchestration — the reference ``System::VisualOdometry``
+(include/system/system.hpp:12-104) as pure-functional per-frame steps.
+
+Two modes, matching the reference:
+
+* ``monocular_*`` — full pipeline (system.hpp:44-74): track against the
+  newest keyframe, compose the world pose, then map (keyframe promotion via
+  propagate, or per-pixel depth update) and regularize.  Depth is
+  bootstrapped from clamped Gaussian noise and refined by the mapper.
+* ``rgbd_*`` — tracking-only frame-to-frame mode (odometrizeUsingDepth,
+  system.hpp:77-93): every frame becomes the next reference; no mapper.
+
+TPU-first: the entire per-frame step — tracking scan, mapping branch
+(``lax.cond``), regularization — is one jitted device program; only
+trajectory IO and the one-time initialisation live on host (SURVEY.md §7
+"Host/device boundary").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dvo_tpu import lie
+from dvo_tpu.config import DVOConfig
+from dvo_tpu.models.frame import (
+    Frame,
+    build_frame,
+    build_frame_with_depth,
+    with_depth,
+    with_pose,
+)
+from dvo_tpu.models.history import KeyframeHistory, push
+from dvo_tpu.models.mapper import (
+    DepthUpdateStats,
+    depth_update,
+    need_new_keyframe,
+    propagate,
+    regularize,
+)
+from dvo_tpu.models.tracker import TrackResult, track
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VOState:
+    """Persistent monocular VO state (device-resident across frames)."""
+
+    history: KeyframeHistory
+    ref: Frame            # current reference keyframe
+    key: jax.Array        # PRNG state (depth bootstrap + filter resets)
+    frame_count: jax.Array  # () int32 — id of the next frame
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StepResult:
+    T_world: jax.Array        # (4, 4) world pose of this frame
+    relative_xi: jax.Array    # (6,) twist vs the reference keyframe
+    is_keyframe: jax.Array    # () bool — frame promoted to keyframe
+    tracking: TrackResult
+    mapping: DepthUpdateStats
+
+
+# ------------------------------------------------------------------ monocular
+
+def monocular_init(gray, mask, K, key, cfg: DVOConfig = DVOConfig.monocular()) -> VOState:
+    """First frame becomes the keyframe with identity pose
+    (system.hpp:49-54)."""
+    key, sub = jax.random.split(key)
+    frame = build_frame(
+        gray, mask, K, cfg.pyramid.levels, cfg.pyramid.culls, sub, 0, cfg.init
+    )
+    h, w = frame.base.shape
+    history = push(KeyframeHistory.create(cfg.mapper.history_capacity, h, w), frame)
+    return VOState(
+        history=history, ref=frame, key=key, frame_count=jnp.asarray(1, jnp.int32)
+    )
+
+
+@partial(jax.jit, static_argnames="cfg")
+def monocular_step(state: VOState, gray, mask, K, cfg: DVOConfig = DVOConfig.monocular()):
+    """One full frame: track -> pose -> map -> regularize
+    (system.hpp:44-74 + mapper.cpp:16-33).  Returns (state', StepResult)."""
+    key, k_frame, k_reset = jax.random.split(state.key, 3)
+    frame = build_frame(
+        gray, mask, K, cfg.pyramid.levels, cfg.pyramid.culls,
+        k_frame, state.frame_count, cfg.init,
+    )
+
+    # --- tracking (system.hpp:57-58) ---
+    tr = track(frame, state.ref, cfg.tracker)
+    frame = with_pose(frame, tr.xi, state.ref.xi)
+
+    # --- mapping (mapper.cpp:16-33) ---
+    need_kf = need_new_keyframe(
+        tr.xi, frame.frame_id, state.ref.frame_id, cfg.mapper
+    )
+    zero_stats = DepthUpdateStats(
+        observed=jnp.asarray(0, jnp.int32),
+        accepted=jnp.asarray(0, jnp.int32),
+        rejected=jnp.asarray(0, jnp.int32),
+    )
+
+    def promote(_):
+        base = state.ref.base
+        d, s, age = propagate(
+            base.depth, base.sigma, state.ref.age, frame.relative_xi, base.K,
+            cfg.mapper, cfg.init,
+        )
+        new_ref = with_depth(frame, d, s, age)
+        return push(state.history, new_ref), new_ref, zero_stats
+
+    def update(_):
+        base = state.ref.base
+        d, s, age, stats = depth_update(
+            frame.base, frame.xi, frame.relative_xi,
+            base.depth, base.sigma, state.ref.age,
+            state.history, k_reset, cfg.mapper,
+        )
+        return state.history, with_depth(state.ref, d, s, age), stats
+
+    history, ref, stats = lax.cond(need_kf, promote, update, None)
+
+    # --- regularize the reference keyframe (mapper.cpp:30,139-144) ---
+    reg = regularize(ref.base.depth, ref.base.sigma, cfg.mapper)
+    ref = with_depth(ref, reg)
+
+    new_state = VOState(
+        history=history, ref=ref, key=key, frame_count=state.frame_count + 1
+    )
+    result = StepResult(
+        T_world=lie.se3_exp(frame.xi),
+        relative_xi=tr.xi,
+        is_keyframe=need_kf,
+        tracking=tr,
+        mapping=stats,
+    )
+    return new_state, result
+
+
+# ----------------------------------------------------------------------- RGB-D
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RGBDState:
+    ref: Frame
+    frame_count: jax.Array
+
+
+def rgbd_init(gray, mask, depth, sigma, K, cfg: DVOConfig = DVOConfig.rgbd()) -> RGBDState:
+    frame = build_frame_with_depth(
+        gray, mask, depth, sigma, K, cfg.pyramid.levels, cfg.pyramid.culls, 0
+    )
+    return RGBDState(ref=frame, frame_count=jnp.asarray(1, jnp.int32))
+
+
+@partial(jax.jit, static_argnames="cfg")
+def rgbd_step(state: RGBDState, gray, mask, depth, sigma, K, cfg: DVOConfig = DVOConfig.rgbd()):
+    """Frame-to-frame tracking-only step (odometrizeUsingDepth,
+    system.hpp:77-93): track vs the previous frame, which this frame then
+    replaces.  Returns (state', StepResult with T_world composed)."""
+    frame = build_frame_with_depth(
+        gray, mask, depth, sigma, K,
+        cfg.pyramid.levels, cfg.pyramid.culls, state.frame_count,
+    )
+    tr = track(frame, state.ref, cfg.tracker)
+    frame = with_pose(frame, tr.xi, state.ref.xi)
+    result = StepResult(
+        T_world=lie.se3_exp(frame.xi),
+        relative_xi=tr.xi,
+        is_keyframe=jnp.asarray(True),
+        tracking=tr,
+        mapping=DepthUpdateStats(
+            observed=jnp.asarray(0, jnp.int32),
+            accepted=jnp.asarray(0, jnp.int32),
+            rejected=jnp.asarray(0, jnp.int32),
+        ),
+    )
+    return RGBDState(ref=frame, frame_count=state.frame_count + 1), result
