@@ -61,6 +61,10 @@ class TrackerConfig:
     # Levenberg damping added to J^T J diagonal (0 = faithful Gauss-Newton;
     # the reference's DECOMP_SVD pseudo-inverse is emulated by a tiny ridge).
     damping: float = 1e-6
+    # GN linearization backend: "xla" (gather-based, exact reference
+    # sampling semantics) or "pallas" (fused VMEM kernel, MXU one-hot
+    # sampling with clamp-to-edge borders — see ops/pallas/gn.py).
+    backend: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

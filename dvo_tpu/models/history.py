@@ -32,6 +32,8 @@ class KeyframeHistory:
     gx: jax.Array      # (C, H, W)
     gy: jax.Array      # (C, H, W)
     gmask: jax.Array   # (C, H, W) bool
+    depth: jax.Array   # (C, H, W) — keyframe depth at push time (BA window)
+    sigma: jax.Array   # (C, H, W)
     xi: jax.Array      # (C, 6) world pose twists
     head: jax.Array    # () int32 — slot of the newest keyframe
     count: jax.Array   # () int32 — number of live keyframes (<= C)
@@ -48,6 +50,8 @@ class KeyframeHistory:
             gx=jnp.zeros((capacity, h, w), jnp.float32),
             gy=jnp.zeros((capacity, h, w), jnp.float32),
             gmask=jnp.zeros((capacity, h, w), bool),
+            depth=jnp.zeros((capacity, h, w), jnp.float32),
+            sigma=jnp.ones((capacity, h, w), jnp.float32),
             xi=jnp.zeros((capacity, 6), jnp.float32),
             head=jnp.asarray(-1, jnp.int32),
             count=jnp.asarray(0, jnp.int32),
@@ -67,6 +71,8 @@ def push(history: KeyframeHistory, frame: Frame) -> KeyframeHistory:
         gx=history.gx.at[slot].set(s.gx),
         gy=history.gy.at[slot].set(s.gy),
         gmask=history.gmask.at[slot].set(s.gmask),
+        depth=history.depth.at[slot].set(s.depth),
+        sigma=history.sigma.at[slot].set(s.sigma),
         xi=history.xi.at[slot].set(frame.xi),
         head=slot,
         count=jnp.minimum(history.count + 1, history.capacity),

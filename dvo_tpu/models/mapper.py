@@ -192,6 +192,8 @@ def depth_update(
     history: KeyframeHistory,
     key: jax.Array,
     cfg: MapperConfig = MapperConfig(),
+    y_offset=0,
+    full_shape=None,
 ):
     """Per-pixel inverse-depth observation + fusion (Mapper::update,
     mapper.cpp:76-137).  Dense over the reference keyframe's base level.
@@ -209,10 +211,16 @@ def depth_update(
       6. fuse via the resetting Gaussian filter; rejection clears age
          (occlusion, :124-127).
 
+    ``ref_depth/ref_sigma/ref_age`` may be a row block starting at
+    ``y_offset`` of a ``full_shape`` image (obj/history stay full-size) —
+    the hook used by dvo_tpu.parallel.mapping to tile-shard this update.
+
     Returns (new_depth, new_sigma, new_age, DepthUpdateStats).
     """
-    h, w = ref_depth.shape
-    xs, ys = pixel_grid(h, w)
+    bh, bw = ref_depth.shape
+    h, w = full_shape if full_shape is not None else (bh, bw)
+    xs, ys = pixel_grid(bh, bw)
+    ys = ys + y_offset
     xy = jnp.stack([xs, ys], axis=-1)
     K = obj.K
     tz = rel_xi[2]

@@ -51,40 +51,49 @@ class TrackResult:
     iterations: jax.Array    # (levels,) iterations actually used
 
 
-def gn_normal_equations(
-    obj: Scene,
-    ref: Scene,
-    xi: jax.Array,
+def gn_terms(
+    obj_gray, obj_mask,
+    ref_depth, ref_sigma,
+    ref_gray, ref_mask, ref_gx, ref_gy, ref_gmask,
+    K, xi,
     level_index: int,
     cfg: TrackerConfig,
+    y_offset=0,
+    full_shape=None,
 ):
-    """One linearization: masked per-pixel residual + Jacobian, accumulated
-    to (H (6,6), g (6,), residual_sum, valid_count).
+    """Normal-equation terms for a row block of pixels.
 
-    Mirrors optimize.cpp:28-90 exactly (gates, weighting, Jacobian), but
-    evaluates all pixels as dense vector ops and contracts on the MXU.
+    ``obj_gray/obj_mask/ref_depth/ref_sigma`` cover rows
+    [y_offset, y_offset + block_h) of the image; the gather targets
+    (``ref_gray``/gradients) are always the full image — warped points cross
+    block boundaries.  ``full_shape`` is the (H, W) of the full image
+    (defaults to the block's own shape).  This split is what lets the same
+    math run single-device (one block = whole image) and tile-sharded across
+    a mesh axis with a final psum (dvo_tpu.parallel.tracking).
     """
-    h, w = ref.shape
-    xs, ys = pixel_grid(h, w)
+    bh, w = obj_gray.shape
+    full_h, full_w = full_shape if full_shape is not None else (bh, w)
+    xs, ys = pixel_grid(bh, w)
+    ys = ys + y_offset
     xy = jnp.stack([xs, ys], axis=-1)
-    depth = ref.depth
+    depth = ref_depth
 
     # --- warped source coordinates under exp(-xi) (optimize.cpp:51) ---
     T_inv = lie.se3_exp(-xi)
-    warped_xy, in_front = warp_points(T_inv, xy, depth, ref.K)
+    warped_xy, in_front = warp_points(T_inv, xy, depth, K)
     wx, wy = warped_xy[..., 0], warped_xy[..., 1]
 
     # --- gather samples ---
-    i2, i2_valid = bilinear_masked(ref.gray, ref.mask, wx, wy)
-    gx, _ = bilinear_dense(ref.gx, wx, wy)
-    gy, _ = bilinear_dense(ref.gy, wx, wy)
-    gmask_f, _ = bilinear_dense(ref.gmask.astype(jnp.float32), wx, wy)
+    i2, i2_valid = bilinear_masked(ref_gray, ref_mask, wx, wy)
+    gx, _ = bilinear_dense(ref_gx, wx, wy)
+    gy, _ = bilinear_dense(ref_gy, wx, wy)
+    gmask_f, _ = bilinear_dense(ref_gmask.astype(jnp.float32), wx, wy)
     grad_ok = gmask_f > 1.0 - 1e-4   # every contributing corner valid
 
     # --- validity mask (optimize.cpp:33-63) ---
     valid = depth >= cfg.min_depth                       # :39
-    valid &= obj.mask & i2_valid                         # :44-48 luminance
-    valid &= (wx >= 0) & (wx < w) & (wy >= 0) & (wy < h) # :51-56 bounds
+    valid &= obj_mask & i2_valid                         # :44-48 luminance
+    valid &= (wx >= 0) & (wx < full_w) & (wy >= 0) & (wy < full_h)  # :51-56
     valid &= in_front & grad_ok                          # :58-63 gradient
     if level_index == cfg.crop_level:                    # :33-36 crop
         x0, x1 = cfg.crop_x
@@ -92,10 +101,10 @@ def gn_normal_equations(
         valid &= (xs >= x0) & (xs <= x1) & (ys >= y0) & (ys <= y1)
 
     # --- Jacobian (optimize.cpp:67-77) ---
-    pc = back_project(ref.K, xy, depth)
+    pc = back_project(K, xy, depth)
     x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
     z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
-    fx, fy = ref.K[0, 0], ref.K[1, 1]
+    fx, fy = K[0, 0], K[1, 1]
     fgx = fx * gx
     fgy = fy * gy
     xz = x / z
@@ -110,11 +119,11 @@ def gn_normal_equations(
             -fgx * yz + fgy * xz,
         ],
         axis=-1,
-    )  # (H, W, 6)
+    )  # (bh, W, 6)
 
-    r = i2 - obj.gray                                     # :79
+    r = i2 - obj_gray                                     # :79
     step = cfg.level_steps[min(level_index, len(cfg.level_steps) - 1)]
-    weight = step / jnp.clip(ref.sigma, *cfg.sigma_clamp)  # :83-84
+    weight = step / jnp.clip(ref_sigma, *cfg.sigma_clamp)  # :83-84
 
     vf = valid.astype(jnp.float32)
     Jm = J * vf[..., None]
@@ -129,6 +138,24 @@ def gn_normal_equations(
     residual_sum = jnp.sum(r * r * vf)                    # :80
     count = jnp.sum(valid.astype(jnp.int32))
     return Hmat, g, residual_sum, count
+
+
+def gn_normal_equations(
+    obj: Scene,
+    ref: Scene,
+    xi: jax.Array,
+    level_index: int,
+    cfg: TrackerConfig,
+):
+    """One linearization over the whole image: masked per-pixel residual +
+    Jacobian accumulated to (H (6,6), g (6,), residual_sum, valid_count).
+    Mirrors optimize.cpp:28-90 exactly (gates, weighting, Jacobian), but
+    evaluates all pixels as dense vector ops and contracts on the MXU."""
+    return gn_terms(
+        obj.gray, obj.mask, ref.depth, ref.sigma,
+        ref.gray, ref.mask, ref.gx, ref.gy, ref.gmask,
+        ref.K, xi, level_index, cfg,
+    )
 
 
 def gn_solve(Hmat, g, count, damping: float):
@@ -151,7 +178,17 @@ def track_level(
 
     def body(carry, _):
         xi, done = carry
-        Hmat, g, rsum, count = gn_normal_equations(obj, ref, xi, level_index, cfg)
+        if cfg.backend == "pallas":
+            from dvo_tpu.ops.pallas.gn import gn_terms_pallas
+
+            Hmat, g, rsum, count = gn_terms_pallas(
+                obj.gray, obj.mask, ref.depth, ref.sigma,
+                ref.gray, ref.mask, ref.gx, ref.gy, ref.gmask,
+                ref.K, lie.se3_exp(-xi), level_index, cfg,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            Hmat, g, rsum, count = gn_normal_equations(obj, ref, xi, level_index, cfg)
         delta = gn_solve(Hmat, g, count, cfg.damping)
         new_xi = lie.compose(xi, delta)
         # NaN guard: keep previous xi on a bad update (tracker.cpp:47-51).

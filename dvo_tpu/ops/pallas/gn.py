@@ -1,0 +1,281 @@
+"""Fused photometric GN linearization as a single Pallas TPU kernel.
+
+The flagship kernel (reference HOT LOOP #1, src/track/optimize.cpp:28-97;
+SURVEY.md §2 #14): per-pixel warp -> bilinear sample -> residual -> 1x6
+Jacobian -> 6x6 normal-equation accumulation, all in one VMEM-resident pass.
+The XLA twin (models/tracker.gn_terms) materializes ~10 intermediate (H, W)
+arrays in HBM between fused sub-kernels; here the whole linearization runs
+out of VMEM and only 44 floats leave the core per row-block.
+
+Sampling strategy: TPU has no per-lane VMEM gather, so bilinear
+interpolation is computed with *transposed* one-hot contractions that stay
+reshape-free (Mosaic supports no layout-changing reshapes):
+
+  points of one image row live along lanes (1, W);
+  Wx (Wimg, W) one-hot of x-corners  -> X = ref_stack (C*H, Wimg) @ Wx
+  Wy (H, W)    one-hot of y-corners  -> out_c = sum_sublanes(Wy * X_c)
+
+i.e. one MXU matmul gathers+x-interpolates all C channels for a row of
+points, and a masked sublane reduction finishes the y-interpolation.
+
+Semantics vs the reference: clamp-to-edge at the outermost fractional
+row/col instead of the base-corner fallback (convert.cpp:88-101), and a
+sample is valid only if every contributing corner is valid (no cyclic
+corner fill, convert.cpp:158).  Both differences touch only mask-boundary
+pixels; the `gather` sampler keeps exact reference semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dvo_tpu.config import TrackerConfig
+
+_OUT_W = 128  # padded accumulator row: 36 (H) + 6 (g) + 1 (r^2) + 1 (count)
+_BLOCK_H = 8
+
+
+def _gn_kernel(
+    params_ref,      # SMEM (1, 24): T_inv (16) | fx fy cx cy | step | pad
+    obj_gray_ref,    # VMEM (BH, W) row block
+    obj_mask_ref,    # VMEM (BH, W) f32 row block
+    depth_ref,       # VMEM (BH, W)
+    sigma_ref,       # VMEM (BH, W)
+    ref_stack_ref,   # VMEM (5*H, W): gray | mask | gx | gy | gmask
+    out_ref,         # VMEM (1, 8, _OUT_W)
+    samp_ref,        # VMEM scratch (5*BH, W): sampled channels
+    *,
+    full_h: int,
+    full_w: int,
+    min_depth: float,
+    sigma_lo: float,
+    sigma_hi: float,
+    weight_b_only: bool,
+    crop: tuple | None,
+):
+    bi = pl.program_id(0)
+    bh, w = _BLOCK_H, full_w
+
+    T = [[params_ref[0, 4 * r + c] for c in range(4)] for r in range(4)]
+    fx, fy = params_ref[0, 16], params_ref[0, 17]
+    cx, cy = params_ref[0, 18], params_ref[0, 19]
+    step = params_ref[0, 20]
+
+    ys = lax.broadcasted_iota(jnp.int32, (bh, w), 0).astype(jnp.float32) + (
+        bi * _BLOCK_H
+    ).astype(jnp.float32)
+    xs = lax.broadcasted_iota(jnp.int32, (bh, w), 1).astype(jnp.float32)
+
+    depth = depth_ref[:]
+    X = depth * (xs - cx) / fx        # back-project (transform.cpp:25-28)
+    Y = depth * (ys - cy) / fy
+    Z = depth
+    Xj = T[0][0] * X + T[0][1] * Y + T[0][2] * Z + T[0][3]
+    Yj = T[1][0] * X + T[1][1] * Y + T[1][2] * Z + T[1][3]
+    Zj = T[2][0] * X + T[2][1] * Y + T[2][2] * Z + T[2][3]
+    in_front = Zj > 1e-6
+    safe_zj = jnp.where(jnp.abs(Zj) < 1e-6, 1e-6, Zj)
+    wx = fx * Xj / safe_zj + cx
+    wy = fy * Yj / safe_zj + cy
+
+    ww_sub = lax.broadcasted_iota(jnp.int32, (full_w, w), 0)   # img-x along sublanes
+    hh_sub = lax.broadcasted_iota(jnp.int32, (full_h, w), 0)   # img-y along sublanes
+
+    # Per block row: one matmul x-interpolates all 5 channels, a masked
+    # sublane reduction y-interpolates.  A fori_loop (not unrolled Python)
+    # keeps only one row's (Wimg, W)/(5H, W) temporaries live — the unrolled
+    # form blows the 16 MB VMEM budget at 424x512.
+    def sample_row(row, _):
+        # Recompute this row's warp from the depth ref (refs support dynamic
+        # row slicing; sliced *values* don't lower in Mosaic).
+        d_r = depth_ref[pl.ds(row, 1), :]                       # (1, W)
+        ys_r = (bi * _BLOCK_H + row).astype(jnp.float32)
+        xs_r = xs[0:1]
+        X_r = d_r * (xs_r - cx) / fx
+        Y_r = d_r * (ys_r - cy) / fy
+        Xj_r = T[0][0] * X_r + T[0][1] * Y_r + T[0][2] * d_r + T[0][3]
+        Yj_r = T[1][0] * X_r + T[1][1] * Y_r + T[1][2] * d_r + T[1][3]
+        Zj_r = T[2][0] * X_r + T[2][1] * Y_r + T[2][2] * d_r + T[2][3]
+        sz_r = jnp.where(jnp.abs(Zj_r) < 1e-6, 1e-6, Zj_r)
+        wx_r = fx * Xj_r / sz_r + cx
+        wy_r = fy * Yj_r / sz_r + cy
+        x0_r = jnp.floor(wx_r)
+        y0_r = jnp.floor(wy_r)
+        fxr = wx_r - x0_r
+        fyr = wy_r - y0_r
+        x0r = jnp.clip(x0_r.astype(jnp.int32), 0, full_w - 1)
+        x1r = jnp.clip(x0_r.astype(jnp.int32) + 1, 0, full_w - 1)
+        y0r = jnp.clip(y0_r.astype(jnp.int32), 0, full_h - 1)
+        y1r = jnp.clip(y0_r.astype(jnp.int32) + 1, 0, full_h - 1)
+        wx_mat = jnp.where(ww_sub == x0r, 1.0 - fxr, 0.0) + jnp.where(
+            ww_sub == x1r, fxr, 0.0
+        )                                                       # (Wimg, W)
+        # Full f32 precision: the default bf16 MXU pass would round the
+        # interpolation weights (~1e-3), breaking the corner-validity
+        # thresholds and adding noise to every sample.
+        Xs = lax.dot_general(
+            ref_stack_ref[:], wx_mat, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (5H, W)
+        wy_mat = jnp.where(hh_sub == y0r, 1.0 - fyr, 0.0) + jnp.where(
+            hh_sub == y1r, fyr, 0.0
+        )                                                       # (H, W)
+        for c in range(5):
+            Xc = Xs[c * full_h : (c + 1) * full_h]              # (H, W)
+            samp_ref[pl.ds(c * bh + row, 1), :] = jnp.sum(
+                wy_mat * Xc, axis=0, keepdims=True
+            )
+        return 0
+
+    lax.fori_loop(0, bh, sample_row, 0)
+    i2 = samp_ref[0 * bh : 1 * bh, :]
+    m2 = samp_ref[1 * bh : 2 * bh, :]
+    gx = samp_ref[2 * bh : 3 * bh, :]
+    gy = samp_ref[3 * bh : 4 * bh, :]
+    gm = samp_ref[4 * bh : 5 * bh, :]
+
+    # ---- validity (optimize.cpp:33-63) ----
+    valid = (depth >= min_depth) & in_front
+    valid &= obj_mask_ref[:] > 0.5
+    valid &= (wx >= 0) & (wx < full_w) & (wy >= 0) & (wy < full_h)
+    valid &= (m2 > 1.0 - 1e-4) & (gm > 1.0 - 1e-4)
+    if crop is not None:
+        cx0, cx1, cy0, cy1 = crop
+        valid &= (xs >= cx0) & (xs <= cx1) & (ys >= cy0) & (ys <= cy1)
+    vf = valid.astype(jnp.float32)
+
+    # ---- Jacobian + residual (optimize.cpp:67-89) ----
+    zsafe = jnp.where(jnp.abs(Z) < 1e-6, 1e-6, Z)
+    fgx = fx * gx
+    fgy = fy * gy
+    xz = X / zsafe
+    yz = Y / zsafe
+    J = [
+        fgx / zsafe,
+        fgy / zsafe,
+        -(fgx * X + fgy * Y) / (zsafe * zsafe),
+        -fgx * xz * yz - fgy * (1.0 + yz * yz),
+        fgx * (1.0 + xz * xz) + fgy * xz * yz,
+        -fgx * yz + fgy * xz,
+    ]
+    r = i2 - obj_gray_ref[:]
+    weight = step / jnp.clip(sigma_ref[:], sigma_lo, sigma_hi)
+
+    # 6x6 + 6 accumulators as masked reductions (a (N, 6) matrix would need
+    # a layout-changing reshape Mosaic doesn't do).
+    hw = vf if weight_b_only else vf * weight   # weight on H (fixed mode)
+    gw = vf * weight                            # weight on g (both modes)
+    cells = []
+    for a in range(6):
+        for b in range(6):
+            cells.append(jnp.sum(J[a] * J[b] * hw).reshape(1, 1))
+    for a in range(6):
+        cells.append(jnp.sum(J[a] * r * gw).reshape(1, 1))
+    cells.append(jnp.sum(r * r * vf).reshape(1, 1))
+    cells.append(jnp.sum(vf).reshape(1, 1))
+    row_acc = jnp.concatenate(
+        cells + [jnp.zeros((1, _OUT_W - 44), jnp.float32)], axis=1
+    )
+    out_ref[:] = jnp.concatenate(
+        [row_acc, jnp.zeros((7, _OUT_W), jnp.float32)], axis=0
+    ).reshape(1, 8, _OUT_W)
+
+
+@functools.partial(jax.jit, static_argnames=("level_index", "cfg", "interpret"))
+def gn_terms_pallas(
+    obj_gray, obj_mask,
+    ref_depth, ref_sigma,
+    ref_gray, ref_mask, ref_gx, ref_gy, ref_gmask,
+    K, T_inv,
+    level_index: int,
+    cfg: TrackerConfig,
+    interpret: bool = False,
+):
+    """Pallas twin of models.tracker.gn_terms (whole image).  Takes the
+    precomputed T_inv = se3_exp(-xi) so the Lie exponential stays outside
+    the kernel.  Returns (H (6,6), g (6,), residual_sum, count)."""
+    h, w = obj_gray.shape
+    # Pad rows to a block multiple; padded rows are invalid (mask 0, depth 0
+    # fails the min-depth gate).
+    pad = (-h) % _BLOCK_H
+    if pad:
+        rows = ((0, pad), (0, 0))
+        obj_gray = jnp.pad(obj_gray, rows)
+        obj_mask = jnp.pad(obj_mask, rows)
+        ref_depth = jnp.pad(ref_depth, rows)
+        ref_sigma = jnp.pad(ref_sigma, rows, constant_values=1.0)
+    n_blocks = (h + pad) // _BLOCK_H
+
+    ref_stack = jnp.concatenate(
+        [
+            ref_gray,
+            ref_mask.astype(jnp.float32),
+            ref_gx,
+            ref_gy,
+            ref_gmask.astype(jnp.float32),
+        ],
+        axis=0,
+    )
+
+    step = cfg.level_steps[min(level_index, len(cfg.level_steps) - 1)]
+    params = jnp.concatenate([
+        T_inv.reshape(16),
+        jnp.asarray([K[0, 0], K[1, 1], K[0, 2], K[1, 2], step, 0, 0, 0], jnp.float32),
+    ]).reshape(1, 24)
+
+    crop = None
+    if level_index == cfg.crop_level:
+        crop = (float(cfg.crop_x[0]), float(cfg.crop_x[1]),
+                float(cfg.crop_y[0]), float(cfg.crop_y[1]))
+
+    kernel = functools.partial(
+        _gn_kernel,
+        full_h=h,
+        full_w=w,
+        min_depth=cfg.min_depth,
+        sigma_lo=cfg.sigma_clamp[0],
+        sigma_hi=cfg.sigma_clamp[1],
+        weight_b_only=cfg.compat_weight_b_only,
+        crop=crop,
+    )
+
+    row_block = pl.BlockSpec((_BLOCK_H, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full_stack = pl.BlockSpec((5 * h, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 24), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            row_block, row_block, row_block, row_block,
+            full_stack,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, _OUT_W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 8, _OUT_W), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((5 * _BLOCK_H, w), jnp.float32)],
+        # The replicated ref stack (5H x W) is double-buffered by the
+        # pipeline; at Kinect resolution that plus the one-hot temporaries
+        # exceeds the default 16 MB scoped budget — raise it (v5e has
+        # headroom above the conservative default).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        params,
+        obj_gray, obj_mask.astype(jnp.float32), ref_depth, ref_sigma,
+        ref_stack,
+    )
+    acc = jnp.sum(out[:, 0], axis=0)
+    Hmat = acc[:36].reshape(6, 6)
+    g = acc[36:42]
+    return Hmat, g, acc[42], acc[43].astype(jnp.int32)

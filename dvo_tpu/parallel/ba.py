@@ -1,0 +1,128 @@
+"""Keyframe-sharded windowed bundle adjustment.
+
+Host keyframes of the BA window shard over the ``kf`` mesh axis: each
+device evaluates the photometric pair terms for its own host keyframes
+against a replicated copy of the window images, accumulates its partial
+camera system and Schur-complement contribution, and the reduced 6M x 6M
+system is ``psum``-reduced over ICI (a ~7 KB payload for M = 7).  The dense
+solve is replicated (tiny); inverse-depth back-substitution stays local to
+each device's host pixels.
+
+This is SURVEY.md §2's "distributed windowed bundle adjustment with
+Schur-complement depth elimination, reduced camera system all-reduced via
+psum over ICI" — the no-reference-counterpart capability.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax, shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from dvo_tpu import lie
+from dvo_tpu.config import BAConfig
+from dvo_tpu.models.ba import BAResult, BAWindow, _current_window, host_system
+
+
+def bundle_adjust_sharded(
+    window: BAWindow,
+    cfg: BAConfig,
+    mesh: Mesh,
+    axis: str = "kf",
+) -> BAResult:
+    """Distributed ``models.ba.bundle_adjust``: identical math, host
+    keyframes sharded over ``axis``.  Window size must divide the axis."""
+    m, h, w_px = window.gray.shape
+    n_dev = mesh.shape[axis]
+    assert m % n_dev == 0, f"window {m} not divisible by {n_dev} devices"
+    m_loc = m // n_dev
+    n = 6 * m
+
+    host_specs = BAWindow(
+        gray=P(axis, None, None), mask=P(axis, None, None),
+        gx=P(axis, None, None), gy=P(axis, None, None),
+        gmask=P(axis, None, None), depth=P(axis, None, None),
+        sigma=P(axis, None, None), xi=P(), K=P(),
+    )
+    full_spec = BAWindow(
+        gray=P(), mask=P(), gx=P(), gy=P(), gmask=P(),
+        depth=P(), sigma=P(), xi=P(), K=P(),
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(full_spec, host_specs),
+        out_specs=(P(), P(axis, None, None), P(), P()),
+        check_vma=False,
+    )
+    def run(win_full, win_host):
+        dev = lax.axis_index(axis)
+        deltas = jnp.zeros((m, 6), jnp.float32)
+        drho_loc = jnp.zeros((m_loc, h, w_px), jnp.float32)
+        costs, counts = [], []
+
+        for _ in range(cfg.iterations):
+            # Assemble full drho for window re-linearization: only this
+            # device's hosts matter for its own pair terms, but depth maps
+            # of *target* keyframes changed too -> all_gather the local
+            # inverse-depth increments (host-sharded axis).
+            drho_all = lax.all_gather(drho_loc, axis, tiled=True)       # (M,H,W)
+            win_cur, T_all = _current_window(win_full, deltas, drho_all)
+
+            Hcc = jnp.zeros((n, n), jnp.float32)
+            gc = jnp.zeros((n,), jnp.float32)
+            b_loc = jnp.zeros((m_loc, h, w_px, n), jnp.float32)
+            hdd_loc = jnp.zeros((m_loc, h, w_px), jnp.float32)
+            gd_loc = jnp.zeros((m_loc, h, w_px), jnp.float32)
+            cost = 0.0
+            count = 0
+            for lk in range(m_loc):
+                k = dev * m_loc + lk
+                Hk, gk, bk, hddk, gdk, ck, nk = host_system(win_cur, T_all, k, cfg)
+                Hcc = Hcc + Hk
+                gc = gc + gk
+                b_loc = b_loc.at[lk].set(bk)
+                hdd_loc = hdd_loc.at[lk].set(hddk)
+                gd_loc = gd_loc.at[lk].set(gdk)
+                cost = cost + ck
+                count = count + nk
+
+            # Local Schur contribution, then one psum of (6M)^2 + 6M + 2.
+            hdd_inv = 1.0 / (hdd_loc + cfg.depth_damping)
+            S_loc = Hcc - jnp.einsum(
+                "mhwi,mhwj,mhw->ij", b_loc, b_loc, hdd_inv,
+                precision=lax.Precision.HIGHEST,
+            )
+            g_loc = gc - jnp.einsum(
+                "mhwi,mhw,mhw->i", b_loc, gd_loc, hdd_inv,
+                precision=lax.Precision.HIGHEST,
+            )
+            S = lax.psum(S_loc, axis)
+            g_red = lax.psum(g_loc, axis)
+            cost = lax.psum(cost, axis)
+            count = lax.psum(count, axis)
+
+            S = S + cfg.damping * jnp.eye(n, dtype=S.dtype)
+            S = S.at[:6, :6].add(jnp.eye(6, dtype=S.dtype))
+            dc = -jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(S), g_red)
+            d_drho = -(gd_loc + jnp.einsum("mhwi,i->mhw", b_loc, dc)) * hdd_inv
+
+            deltas = jax.vmap(lie.compose)(deltas, dc.reshape(m, 6))
+            drho_loc = drho_loc + d_drho
+            costs.append(cost)
+            counts.append(count)
+
+        drho_all = lax.all_gather(drho_loc, axis, tiled=True)
+        xi = jax.vmap(lambda x, d: lie.se3_log(lie.se3_exp(x) @ lie.se3_exp(d)))(
+            win_full.xi, deltas
+        )
+        safe_d = jnp.maximum(win_host.depth, 1e-3)
+        depth_loc = 1.0 / jnp.maximum(1.0 / safe_d + drho_loc, 1e-4)
+        return xi, depth_loc, jnp.stack(costs), jnp.stack(counts)
+
+    xi, depth, costs, counts = run(window, window)
+    return BAResult(xi=xi, depth=depth, costs=costs, counts=counts)

@@ -1,0 +1,80 @@
+"""CLI entry point — the reference's demo app (main.cpp / test/kinect-vo.cpp)
+as a batch runner: dataset in, TUM trajectory out, optional ATE.
+
+Examples:
+    python -m dvo_tpu.run --data /root/reference/data/logicool0 --mode mono \
+        --out traj.txt --max-frames 100
+    python -m dvo_tpu.run --data /path/to/tum/fr1_xyz --mode rgbd \
+        --format tum --out traj.txt --gt groundtruth.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data", required=True, help="sequence directory")
+    ap.add_argument("--mode", choices=["mono", "rgbd"], default="mono")
+    ap.add_argument("--format", choices=["info", "tum"], default="info",
+                    help="info = reference info.txt; tum = TUM rgb.txt/depth.txt")
+    ap.add_argument("--calib", default=None,
+                    help="calibration YAML (default: logicool/TUM presets)")
+    ap.add_argument("--out", default="trajectory.txt")
+    ap.add_argument("--gt", default=None, help="ground-truth TUM file for ATE")
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no-undistort", action="store_true")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    from dvo_tpu.config import DVOConfig
+    from dvo_tpu.utils.datasets import Calibration, InfoSequence, TUMSequence
+    from dvo_tpu.utils.runner import run_monocular, run_rgbd
+    from dvo_tpu.utils.trajectory import ate_rmse, read_tum, write_tum
+
+    if args.format == "tum":
+        seq = TUMSequence(args.data)
+        calib = Calibration.from_yaml(args.calib) if args.calib else Calibration.tum_freiburg1()
+    else:
+        import os
+
+        seq = InfoSequence(os.path.join(args.data, "info.txt"))
+        calib = Calibration.from_yaml(args.calib) if args.calib else Calibration.logicool()
+
+    if args.mode == "mono":
+        ts, poses, secs = run_monocular(
+            seq, calib, DVOConfig.monocular(), seed=args.seed,
+            max_frames=args.max_frames, undistort=not args.no_undistort,
+            verbose=args.verbose,
+        )
+    else:
+        ts, poses, secs = run_rgbd(
+            seq, calib, DVOConfig.rgbd(),
+            max_frames=args.max_frames, undistort=not args.no_undistort,
+            verbose=args.verbose,
+        )
+
+    write_tum(args.out, ts, poses)
+    report = {
+        "frames": len(ts),
+        "fps": round(float(1.0 / np.median(secs)), 2) if len(secs) else None,
+        "trajectory": args.out,
+    }
+    if args.gt:
+        gt_t, gt_xyz = read_tum(args.gt)
+        est_xyz = poses[:, :3, 3]
+        report["ate_rmse_m"] = round(
+            ate_rmse(ts, est_xyz, gt_t, gt_xyz, with_scale=(args.mode == "mono")), 4
+        )
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

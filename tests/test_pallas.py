@@ -1,0 +1,71 @@
+"""Pallas GN kernel parity tests (interpret mode on the CPU mesh; the real
+TPU run is exercised by the verify drive and bench)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvo_tpu import lie
+from dvo_tpu.config import TrackerConfig
+from dvo_tpu.models.frame import build_frame_with_depth
+from dvo_tpu.models.tracker import gn_normal_equations, track
+from dvo_tpu.ops.pallas.gn import gn_terms_pallas
+
+from test_image_ops import smooth_image
+
+
+def _scenes(rng, h=24, w=32):
+    img = smooth_image(rng, h, w)
+    depth = (1.5 + 0.3 * smooth_image(rng, h, w)).astype(np.float32)
+    sigma = np.full((h, w), 0.1, np.float32)
+    K = np.array([[1.2 * w, 0, w / 2], [0, 1.2 * w, h / 2], [0, 0, 1]], np.float32)
+    mk = lambda im, fid: build_frame_with_depth(
+        jnp.asarray(im), jnp.ones((h, w), bool), jnp.asarray(depth),
+        jnp.asarray(sigma), jnp.asarray(K), levels=1, culls=0, frame_id=fid,
+    )
+    return mk(np.roll(img, 1, axis=1), 1).scenes[0], mk(img, 0).scenes[0]
+
+
+def test_pallas_gn_matches_xla(rng):
+    obj, ref = _scenes(rng)
+    cfg = TrackerConfig()
+    xi = jnp.asarray([0.004, -0.002, 0.001, 0.001, -0.0005, 0.0015], jnp.float32)
+    H1, g1, r1, c1 = gn_normal_equations(obj, ref, xi, 0, cfg)
+    H2, g2, r2, c2 = gn_terms_pallas(
+        obj.gray, obj.mask, ref.depth, ref.sigma,
+        ref.gray, ref.mask, ref.gx, ref.gy, ref.gmask,
+        ref.K, lie.se3_exp(-xi), 0, cfg, interpret=True,
+    )
+    # Interior masks are dense here, so the clamp-vs-fallback border
+    # difference cannot bite: counts must agree exactly.
+    assert int(c1) == int(c2)
+    np.testing.assert_allclose(np.asarray(H2), np.asarray(H1), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(r2), float(r1), rtol=1e-5)
+
+
+def test_pallas_backend_track(rng):
+    """Full coarse-to-fine track with backend='pallas' converges to the same
+    twist as the XLA backend."""
+    h, w = 32, 48
+    img = smooth_image(rng, h, w)
+    depth = np.full((h, w), 1.8, np.float32)
+    sigma = np.full((h, w), 0.1, np.float32)
+    K = np.array([[1.2 * w, 0, w / 2], [0, 1.2 * w, h / 2], [0, 0, 1]], np.float32)
+    from dvo_tpu.ops.warp import warp_image
+
+    xi_true = np.asarray([0.01, -0.006, 0.004, 0, 0, 0], np.float32)
+    obj_img, obj_mask = warp_image(
+        jnp.asarray(xi_true), jnp.asarray(img), jnp.ones((h, w), bool),
+        jnp.asarray(depth), jnp.asarray(K),
+    )
+    mk = lambda im, m, fid: build_frame_with_depth(
+        jnp.asarray(im), jnp.asarray(m), jnp.asarray(depth), jnp.asarray(sigma),
+        jnp.asarray(K), levels=2, culls=0, frame_id=fid,
+    )
+    obj = mk(obj_img, obj_mask, 1)
+    ref = mk(img, np.ones((h, w), bool), 0)
+    xi_x = np.asarray(track(obj, ref, TrackerConfig(min_residual=0.0)).xi)
+    xi_p = np.asarray(track(obj, ref, TrackerConfig(min_residual=0.0, backend="pallas")).xi)
+    np.testing.assert_allclose(xi_p, xi_true, atol=1e-3)
+    np.testing.assert_allclose(xi_p, xi_x, atol=5e-4)

@@ -1,0 +1,104 @@
+"""Sharded-execution tests on the virtual 8-device CPU mesh: the tile-
+sharded GN must reproduce the single-device numbers exactly (same math,
+psum-reduced), across mesh shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dvo_tpu.config import TrackerConfig
+from dvo_tpu.models.frame import build_frame_with_depth
+from dvo_tpu.models.tracker import gn_normal_equations, track
+from dvo_tpu.parallel.mesh import make_mesh, vo_mesh
+from dvo_tpu.parallel.tracking import sharded_gn_normal_equations, sharded_track
+
+from test_tracker import make_pair
+
+
+def _frames(rng, h, w, levels=2):
+    ref_img, depth, sigma, K, obj_img, obj_mask, xi_true = make_pair(rng, h, w)
+    mk = lambda img, m, fid: build_frame_with_depth(
+        jnp.asarray(img), jnp.asarray(m), jnp.asarray(depth),
+        jnp.asarray(sigma), jnp.asarray(K), levels=levels, culls=0, frame_id=fid,
+    )
+    return mk(obj_img, obj_mask, 1), mk(ref_img, np.ones_like(obj_mask), 0), xi_true
+
+
+def test_devices_available():
+    assert len(jax.devices()) >= 8, jax.devices()
+
+
+@pytest.mark.parametrize("tiles", [2, 4, 8])
+def test_sharded_gn_matches_single_device(rng, tiles):
+    obj, ref, _ = _frames(rng, 64, 96, levels=1)
+    mesh = make_mesh((tiles,), ("tile",))
+    cfg = TrackerConfig()
+    xi = jnp.asarray([0.01, -0.005, 0.002, 0.001, 0.0, -0.001], jnp.float32)
+    H1, g1, r1, c1 = gn_normal_equations(obj.scenes[0], ref.scenes[0], xi, 0, cfg)
+    H2, g2, r2, c2 = sharded_gn_normal_equations(
+        obj.scenes[0], ref.scenes[0], xi, 0, cfg, mesh
+    )
+    assert int(c1) == int(c2)
+    np.testing.assert_allclose(np.asarray(H1), np.asarray(H2), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(float(r1), float(r2), rtol=1e-5)
+
+
+def test_sharded_track_matches_single_device(rng):
+    obj, ref, xi_true = _frames(rng, 64, 96, levels=2)
+    mesh = make_mesh((4,), ("tile",))
+    cfg = TrackerConfig(min_residual=0.0)
+    xi_single = np.asarray(track(obj, ref, cfg).xi)
+    xi_shard = np.asarray(
+        jax.jit(
+            lambda o, r: sharded_track(o, r, cfg, mesh)
+        )(obj, ref)
+    )
+    np.testing.assert_allclose(xi_shard, xi_single, rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(xi_shard, xi_true, atol=1e-3)
+
+
+def test_vo_mesh_shapes():
+    m = vo_mesh(8)
+    assert m.shape["kf"] * m.shape["tile"] == 8
+    m1 = vo_mesh(1)
+    assert m1.shape["kf"] * m1.shape["tile"] == 1
+
+
+def test_sharded_depth_update_matches_single_device(rng):
+    from dvo_tpu.config import MapperConfig
+    from dvo_tpu.models.history import KeyframeHistory, push
+    from dvo_tpu.models.mapper import depth_update
+    from dvo_tpu.parallel.mapping import sharded_depth_update
+    from test_mapper import _single_kf_setup, smooth_image
+
+    h, w = 64, 80
+    ref_img, true_depth, K, xi, obj_img, obj_mask, mk = _single_kf_setup(rng, h, w)
+    ref_frame = mk(ref_img, np.ones((h, w), bool), true_depth,
+                   np.full((h, w), 0.5, np.float32), 0)
+    history = push(KeyframeHistory.create(4, h, w), ref_frame)
+    prior = (1.6 + 0.2 * smooth_image(rng, h, w)).astype(np.float32)
+    sigma0 = np.full((h, w), 0.4, np.float32)
+    obj_frame = mk(obj_img, obj_mask, true_depth, sigma0, 1)
+    cfg = MapperConfig(crop_x=(6, 74), crop_y=(6, 58),
+                       luminance_sigma=0.25, epipolar_sigma=0.25)
+    key = jax.random.PRNGKey(3)
+    age0 = jnp.zeros((h, w), jnp.int32)
+
+    d1, s1, a1, st1 = depth_update(
+        obj_frame.scenes[0], jnp.asarray(xi), jnp.asarray(xi),
+        jnp.asarray(prior), jnp.asarray(sigma0), age0, history, key, cfg)
+    mesh = make_mesh((4,), ("tile",))
+    d2, s2, a2, st2 = sharded_depth_update(
+        obj_frame.scenes[0], jnp.asarray(xi), jnp.asarray(xi),
+        jnp.asarray(prior), jnp.asarray(sigma0), age0, history, key, cfg, mesh)
+
+    assert int(st1.observed) == int(st2.observed)
+    assert int(st1.rejected) == int(st2.rejected)
+    # Reset pixels draw tile-local noise; compare everywhere else.
+    same = np.asarray(a1) == np.asarray(a2)  # ages only differ via resets
+    changed_equal = np.isclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+    frac = (changed_equal | ~same).mean()
+    rej = int(st1.rejected)
+    assert changed_equal.sum() >= d1.size - rej, (int(changed_equal.sum()), d1.size, rej)
