@@ -81,10 +81,13 @@ def window_from_history(history, K, m: int) -> BAWindow:
     )
 
 
-def _pair_terms(window: BAWindow, T_all, k: int, j: int, cfg: BAConfig):
+def _pair_terms(window: BAWindow, T_all, k, j, cfg: BAConfig):
     """Dense residual + Jacobian terms for host keyframe k vs target j.
 
-    Returns (r, w, Jk (..,6), Jj (..,6), Jrho (..,), valid) over k's pixels.
+    ``k`` and ``j`` may be traced scalars (the host/target loops are
+    ``lax.scan``s — unrolling them made XLA compile time quadratic in the
+    window size).  Returns (r, w, Jk (..,6), Jj (..,6), Jrho (..,)) over
+    k's pixels.
     """
     m, h, w_px = window.gray.shape
     K = window.K
@@ -187,25 +190,17 @@ def host_system(window: BAWindow, T_all, k, cfg: BAConfig):
     oh_k = jax.nn.one_hot(k, m, dtype=jnp.float32)           # (M,)
     gauge_k = jnp.where(k == 0, 0.0, 1.0)                     # fix keyframe 0
 
-    Hcc = jnp.zeros((n, n), jnp.float32)
-    gc = jnp.zeros((n,), jnp.float32)
-    b_host = jnp.zeros((h, w_px, n), jnp.float32)
-    hdd = jnp.zeros((h, w_px), jnp.float32)
-    gd = jnp.zeros((h, w_px), jnp.float32)
-    cost = 0.0
-    count = 0
-
-    for j in range(m):
+    def target(carry, j):
+        Hcc, gc, b_host, hdd, gd, cost, count = carry
         r, w_all, Jk, Jj, Jrho = _pair_terms(window, T_all, k, j, cfg)
         w_all = w_all * jnp.where(j == k, 0.0, 1.0)           # skip self-pair
         Jk = Jk * gauge_k
-        if j == 0:                                            # gauge (static)
-            Jj = Jj * 0.0
+        Jj = Jj * jnp.where(j == 0, 0.0, 1.0)                 # gauge target
         # Full-width Jacobian rows: host block via one-hot(k), target block
-        # static at j.
-        Jfull = Jk[..., None, :] * oh_k[:, None]              # (H,W,M,6)
-        Jfull = Jfull.at[..., j, :].add(Jj)
-        Jfull = Jfull.reshape(h, w_px, n)
+        # via one-hot(j).
+        oh_j = jax.nn.one_hot(j, m, dtype=jnp.float32)
+        Jfull = Jk[..., None, :] * oh_k[:, None] + Jj[..., None, :] * oh_j[:, None]
+        Jfull = Jfull.reshape(h, w_px, n)                     # (H,W,6M)
         wJ = Jfull * w_all[..., None]
         Hcc = Hcc + jnp.einsum("hwi,hwj->ij", wJ, Jfull, precision=_HI)
         gc = gc + jnp.einsum("hwi,hw->i", wJ, r, precision=_HI)
@@ -214,6 +209,20 @@ def host_system(window: BAWindow, T_all, k, cfg: BAConfig):
         gd = gd + w_all * Jrho * r
         cost = cost + jnp.sum(w_all * r * r)
         count = count + jnp.sum((w_all > 0).astype(jnp.int32))
+        return (Hcc, gc, b_host, hdd, gd, cost, count), None
+
+    init = (
+        jnp.zeros((n, n), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((h, w_px, n), jnp.float32),
+        jnp.zeros((h, w_px), jnp.float32),
+        jnp.zeros((h, w_px), jnp.float32),
+        jnp.asarray(0.0, jnp.float32),
+        jnp.asarray(0, jnp.int32),
+    )
+    (Hcc, gc, b_host, hdd, gd, cost, count), _ = lax.scan(
+        target, init, jnp.arange(m)
+    )
     return Hcc, gc, b_host, hdd, gd, cost, count
 
 
@@ -225,22 +234,21 @@ def build_system(window: BAWindow, deltas, drho, cfg: BAConfig):
     m, h, w_px = window.gray.shape
     window, T_all = _current_window(window, deltas, drho)
     n = 6 * m
-    Hcc = jnp.zeros((n, n), jnp.float32)
-    gc = jnp.zeros((n,), jnp.float32)
-    b = jnp.zeros((m, h, w_px, n), jnp.float32)
-    hdd = jnp.zeros((m, h, w_px), jnp.float32)
-    gd = jnp.zeros((m, h, w_px), jnp.float32)
-    cost = 0.0
-    count = 0
-    for k in range(m):
+
+    def host(carry, k):
+        Hcc, gc, cost, count = carry
         Hk, gk, bk, hddk, gdk, ck, nk = host_system(window, T_all, k, cfg)
-        Hcc = Hcc + Hk
-        gc = gc + gk
-        b = b.at[k].set(bk)
-        hdd = hdd.at[k].set(hddk)
-        gd = gd.at[k].set(gdk)
-        cost = cost + ck
-        count = count + nk
+        return (Hcc + Hk, gc + gk, cost + ck, count + nk), (bk, hddk, gdk)
+
+    init = (
+        jnp.zeros((n, n), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.asarray(0.0, jnp.float32),
+        jnp.asarray(0, jnp.int32),
+    )
+    (Hcc, gc, cost, count), (b, hdd, gd) = lax.scan(
+        host, init, jnp.arange(m)
+    )
     return Hcc, gc, b, hdd, gd, cost, count
 
 
@@ -280,24 +288,22 @@ class BAResult:
 
 
 def bundle_adjust(window: BAWindow, cfg: BAConfig = BAConfig()) -> BAResult:
-    """Run ``cfg.iterations`` damped GN steps.  Python loop (unrolled under
-    jit — iteration count is small and static)."""
+    """Run ``cfg.iterations`` damped GN steps as a ``lax.scan`` (one
+    compiled step body regardless of iteration count)."""
     m, h, w_px = window.gray.shape
-    deltas = jnp.zeros((m, 6), jnp.float32)
-    drho = jnp.zeros((m, h, w_px), jnp.float32)
-    costs, counts = [], []
-    for _ in range(cfg.iterations):
+
+    def body(carry, _):
+        deltas, drho = carry
         deltas, drho, cost, count = ba_step(window, deltas, drho, cfg)
-        costs.append(cost)
-        counts.append(count)
+        return (deltas, drho), (cost, count)
+
+    init = (jnp.zeros((m, 6), jnp.float32), jnp.zeros((m, h, w_px), jnp.float32))
+    (deltas, drho), (costs, counts) = lax.scan(
+        body, init, None, length=cfg.iterations
+    )
     xi = jax.vmap(lambda x, d: lie.se3_log(lie.se3_exp(x) @ lie.se3_exp(d)))(
         window.xi, deltas
     )
     safe_d = jnp.maximum(window.depth, 1e-3)
     depth = 1.0 / jnp.maximum(1.0 / safe_d + drho, 1e-4)
-    return BAResult(
-        xi=xi,
-        depth=depth,
-        costs=jnp.stack(costs),
-        counts=jnp.stack(counts),
-    )
+    return BAResult(xi=xi, depth=depth, costs=costs, counts=counts)

@@ -61,11 +61,9 @@ def bundle_adjust_sharded(
     )
     def run(win_full, win_host):
         dev = lax.axis_index(axis)
-        deltas = jnp.zeros((m, 6), jnp.float32)
-        drho_loc = jnp.zeros((m_loc, h, w_px), jnp.float32)
-        costs, counts = [], []
 
-        for _ in range(cfg.iterations):
+        def iteration(carry, _):
+            deltas, drho_loc = carry
             # Assemble full drho for window re-linearization: only this
             # device's hosts matter for its own pair terms, but depth maps
             # of *target* keyframes changed too -> all_gather the local
@@ -73,23 +71,21 @@ def bundle_adjust_sharded(
             drho_all = lax.all_gather(drho_loc, axis, tiled=True)       # (M,H,W)
             win_cur, T_all = _current_window(win_full, deltas, drho_all)
 
-            Hcc = jnp.zeros((n, n), jnp.float32)
-            gc = jnp.zeros((n,), jnp.float32)
-            b_loc = jnp.zeros((m_loc, h, w_px, n), jnp.float32)
-            hdd_loc = jnp.zeros((m_loc, h, w_px), jnp.float32)
-            gd_loc = jnp.zeros((m_loc, h, w_px), jnp.float32)
-            cost = 0.0
-            count = 0
-            for lk in range(m_loc):
+            def host(acc, lk):
+                Hcc, gc, cost, count = acc
                 k = dev * m_loc + lk
                 Hk, gk, bk, hddk, gdk, ck, nk = host_system(win_cur, T_all, k, cfg)
-                Hcc = Hcc + Hk
-                gc = gc + gk
-                b_loc = b_loc.at[lk].set(bk)
-                hdd_loc = hdd_loc.at[lk].set(hddk)
-                gd_loc = gd_loc.at[lk].set(gdk)
-                cost = cost + ck
-                count = count + nk
+                return (Hcc + Hk, gc + gk, cost + ck, count + nk), (bk, hddk, gdk)
+
+            acc0 = (
+                jnp.zeros((n, n), jnp.float32),
+                jnp.zeros((n,), jnp.float32),
+                jnp.asarray(0.0, jnp.float32),
+                jnp.asarray(0, jnp.int32),
+            )
+            (Hcc, gc, cost, count), (b_loc, hdd_loc, gd_loc) = lax.scan(
+                host, acc0, jnp.arange(m_loc)
+            )
 
             # Local Schur contribution, then one psum of (6M)^2 + 6M + 2.
             hdd_inv = 1.0 / (hdd_loc + cfg.depth_damping)
@@ -112,17 +108,22 @@ def bundle_adjust_sharded(
             d_drho = -(gd_loc + jnp.einsum("mhwi,i->mhw", b_loc, dc)) * hdd_inv
 
             deltas = jax.vmap(lie.compose)(deltas, dc.reshape(m, 6))
-            drho_loc = drho_loc + d_drho
-            costs.append(cost)
-            counts.append(count)
+            return (deltas, drho_loc + d_drho), (cost, count)
 
-        drho_all = lax.all_gather(drho_loc, axis, tiled=True)
+        init = (
+            jnp.zeros((m, 6), jnp.float32),
+            jnp.zeros((m_loc, h, w_px), jnp.float32),
+        )
+        (deltas, drho_loc), (costs, counts) = lax.scan(
+            iteration, init, None, length=cfg.iterations
+        )
+
         xi = jax.vmap(lambda x, d: lie.se3_log(lie.se3_exp(x) @ lie.se3_exp(d)))(
             win_full.xi, deltas
         )
         safe_d = jnp.maximum(win_host.depth, 1e-3)
         depth_loc = 1.0 / jnp.maximum(1.0 / safe_d + drho_loc, 1e-4)
-        return xi, depth_loc, jnp.stack(costs), jnp.stack(counts)
+        return xi, depth_loc, costs, counts
 
     xi, depth, costs, counts = run(window, window)
     return BAResult(xi=xi, depth=depth, costs=costs, counts=counts)
