@@ -82,6 +82,29 @@ def monocular_init(gray, mask, K, key, cfg: DVOConfig = DVOConfig.monocular()) -
     )
 
 
+def monocular_init_with_depth(
+    gray, mask, depth, sigma, K, key, cfg: DVOConfig = DVOConfig.monocular()
+) -> VOState:
+    """Full monocular pipeline seeded with *measured* initial depth — the
+    reference's third mode (system.hpp:24-32, used by test/kinect-vo.cpp):
+    the first keyframe carries sensor depth/sigma instead of random
+    bootstrap; subsequent frames run the ordinary ``monocular_step``.
+
+    Divergence from the reference (documented fix): it builds this first
+    keyframe with (levels=4, culls=1) while tracking frames use (3, 2) —
+    mixed resolutions that only line up by accident of its pyramid
+    indexing.  Here the keyframe uses the same pyramid config as every
+    other frame."""
+    frame = build_frame_with_depth(
+        gray, mask, depth, sigma, K, cfg.pyramid.levels, cfg.pyramid.culls, 0
+    )
+    h, w = frame.base.shape
+    history = push(KeyframeHistory.create(cfg.mapper.history_capacity, h, w), frame)
+    return VOState(
+        history=history, ref=frame, key=key, frame_count=jnp.asarray(1, jnp.int32)
+    )
+
+
 @partial(jax.jit, static_argnames="cfg")
 def monocular_step(state: VOState, gray, mask, K, cfg: DVOConfig = DVOConfig.monocular()):
     """One full frame: track -> pose -> map -> regularize

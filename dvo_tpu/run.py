@@ -21,8 +21,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data", required=True, help="sequence directory")
     ap.add_argument("--mode", choices=["mono", "rgbd"], default="mono")
-    ap.add_argument("--format", choices=["info", "tum"], default="info",
-                    help="info = reference info.txt; tum = TUM rgb.txt/depth.txt")
+    ap.add_argument("--format", choices=["info", "tum", "kinect"], default="info",
+                    help="info = reference info.txt (mono); tum = TUM rgb.txt/depth.txt; "
+                         "kinect = info.txt with 'rgb depth' pairs + dual-camera registration")
     ap.add_argument("--calib", default=None,
                     help="calibration YAML (default: logicool/TUM presets)")
     ap.add_argument("--out", default="trajectory.txt")
@@ -31,14 +32,45 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-undistort", action="store_true")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force a JAX backend (set before backend init; the "
+                         "JAX_PLATFORMS env var may be pinned by the environment)")
+    ap.add_argument("--metrics", default=None,
+                    help="write per-frame JSONL metrics to this path")
+    ap.add_argument("--checkpoint", default=None,
+                    help="save the final VO device state (.npz) here (mono mode)")
     args = ap.parse_args(argv)
 
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
     from dvo_tpu.config import DVOConfig
-    from dvo_tpu.utils.datasets import Calibration, InfoSequence, TUMSequence
-    from dvo_tpu.utils.runner import run_monocular, run_rgbd
+    from dvo_tpu.utils.datasets import (
+        Calibration,
+        InfoSequence,
+        KinectCalibration,
+        TUMSequence,
+    )
+    from dvo_tpu.utils.runner import run_kinect, run_monocular, run_rgbd
     from dvo_tpu.utils.trajectory import ate_rmse, read_tum, write_tum
 
-    if args.format == "tum":
+    if args.format == "kinect":
+        import os
+
+        seq = InfoSequence(os.path.join(args.data, "info.txt"))
+        kcal = (
+            KinectCalibration.from_yaml(args.calib)
+            if args.calib
+            else KinectCalibration.kinect_v2()
+        )
+        ts, poses, secs = run_kinect(
+            seq, kcal, mode=args.mode, max_frames=args.max_frames,
+            undistort=not args.no_undistort, verbose=args.verbose,
+        )
+        args.mode = f"kinect-{args.mode}"
+    elif args.format == "tum":
         seq = TUMSequence(args.data)
         calib = Calibration.from_yaml(args.calib) if args.calib else Calibration.tum_freiburg1()
     else:
@@ -47,11 +79,18 @@ def main(argv=None):
         seq = InfoSequence(os.path.join(args.data, "info.txt"))
         calib = Calibration.from_yaml(args.calib) if args.calib else Calibration.logicool()
 
-    if args.mode == "mono":
+    from dvo_tpu.utils.metrics import MetricsLogger
+
+    metrics = MetricsLogger(args.metrics)
+
+    if args.format == "kinect":
+        pass
+    elif args.mode == "mono":
         ts, poses, secs = run_monocular(
             seq, calib, DVOConfig.monocular(), seed=args.seed,
             max_frames=args.max_frames, undistort=not args.no_undistort,
-            verbose=args.verbose,
+            verbose=args.verbose, metrics=metrics,
+            checkpoint_out=args.checkpoint,
         )
     else:
         ts, poses, secs = run_rgbd(
@@ -60,6 +99,7 @@ def main(argv=None):
             verbose=args.verbose,
         )
 
+    metrics.close()
     write_tum(args.out, ts, poses)
     report = {
         "frames": len(ts),

@@ -82,6 +82,55 @@ class Calibration:
         )
 
 
+@dataclasses.dataclass(frozen=True)
+class KinectCalibration:
+    """Dual-camera Kinect v2 rig: color + depth intrinsics and the
+    depth->color extrinsic (the reference reads these from its
+    camera-calibration submodule's YAML: RGB/DEPTH/EXT at loader.hpp:73-74,
+    101-108; invT applied at transform.cpp:70)."""
+
+    rgb: Calibration
+    depth: Calibration
+    invT: np.ndarray  # (4, 4) depth-camera -> color-camera transform
+
+    @staticmethod
+    def kinect_v2() -> "KinectCalibration":
+        """Nominal Kinect v2 factory intrinsics (the reference's per-device
+        YAML is in an absent submodule; these are the published sensor
+        defaults) with the ~52 mm color<-depth baseline along -x."""
+        rgb = Calibration(
+            K=np.array([[1081.37, 0, 959.5], [0, 1081.37, 539.5], [0, 0, 1]], np.float32),
+            distortion=None,
+            resolution=(1920, 1080),
+        )
+        depth = Calibration(
+            K=np.array([[365.456, 0, 254.878], [0, 365.456, 205.395], [0, 0, 1]], np.float32),
+            distortion=np.array([0.0905, -0.2697, 0.0, 0.0, 0.0973], np.float32),
+            resolution=(512, 424),
+        )
+        invT = np.eye(4, dtype=np.float32)
+        invT[0, 3] = -0.052
+        return KinectCalibration(rgb=rgb, depth=depth, invT=invT)
+
+    @staticmethod
+    def from_yaml(path: str) -> "KinectCalibration":
+        """Sections ``rgb``/``depth`` (K, D, resolution) + ``extrinsic``
+        with ``invT: [16 floats]`` row-major."""
+        import re
+
+        rgb = Calibration.from_yaml(path, "rgb")
+        depth = Calibration.from_yaml(path, "depth")
+        with open(path) as f:
+            text = f.read()
+        m = re.search(r"invT:\s*\[([^\]]*)\]", text)
+        invT = (
+            np.asarray([float(v) for v in m.group(1).split(",")], np.float32).reshape(4, 4)
+            if m
+            else np.eye(4, dtype=np.float32)
+        )
+        return KinectCalibration(rgb=rgb, depth=depth, invT=invT)
+
+
 def _decode_gray(path: str) -> np.ndarray:
     from PIL import Image
 

@@ -14,12 +14,14 @@ import numpy as np
 from dvo_tpu.config import DVOConfig
 from dvo_tpu.models.odometry import (
     monocular_init,
+    monocular_init_with_depth,
     monocular_step,
     rgbd_init,
     rgbd_step,
 )
 from dvo_tpu.utils.datasets import (
     Calibration,
+    KinectCalibration,
     build_undistort_map,
     load_depth_meters,
     load_gray_normalized,
@@ -44,9 +46,13 @@ def run_monocular(
     max_frames: Optional[int] = None,
     undistort: bool = True,
     verbose: bool = False,
+    metrics=None,
+    checkpoint_out: Optional[str] = None,
 ):
     """Monocular VO over a sequence.  Returns (timestamps, poses (N,4,4),
-    per-frame seconds)."""
+    per-frame seconds).  ``metrics``: utils.metrics.MetricsLogger for JSONL
+    per-frame records; ``checkpoint_out``: path to save the final device
+    state (utils.checkpoint)."""
     srcmap = build_undistort_map(calib) if undistort and calib.distortion is not None else None
     K = jnp.asarray(calib.K)
     items = list(sequence)[:max_frames]
@@ -65,11 +71,17 @@ def run_monocular(
         secs.append(time.perf_counter() - t0)
         poses.append(np.asarray(res.T_world))
         times.append(item.timestamp)
+        if metrics is not None:
+            metrics.log_frame(res, secs[-1], item.timestamp)
         if verbose:
             print(
                 f"frame {int(state.frame_count)-1:4d} kf={bool(res.is_keyframe)} "
                 f"acc={int(res.mapping.accepted):5d} {secs[-1]*1e3:7.1f} ms"
             )
+    if checkpoint_out:
+        from dvo_tpu.utils.checkpoint import save_state
+
+        save_state(checkpoint_out, state)
     return np.asarray(times), np.stack(poses), np.asarray(secs)
 
 
@@ -118,4 +130,104 @@ def run_rgbd(
         times.append(item.timestamp)
         if verbose:
             print(f"frame {int(state.frame_count)-1:4d} {secs[-1]*1e3:7.1f} ms")
+    return np.asarray(times), np.stack(poses), np.asarray(secs)
+
+
+def run_kinect(
+    sequence,
+    kcalib: KinectCalibration = None,
+    cfg: DVOConfig = None,
+    mode: str = "mono",
+    max_frames: Optional[int] = None,
+    undistort: bool = True,
+    verbose: bool = False,
+):
+    """Kinect v2 dual-camera pipeline (reference KinectLoader::getMappedImages,
+    loader.cpp:90-101 + test/kinect-vo.cpp): undistort color and depth with
+    their own intrinsics, register the color image into the depth camera's
+    frame via the extrinsic (``map_depth_to_gray``), then run VO at depth
+    resolution with the depth camera's K.
+
+    ``mode="mono"``: full pipeline seeded with the first frame's measured
+    depth (kinect-vo.cpp).  ``mode="rgbd"``: frame-to-frame tracking with
+    measured depth every frame (test/sequence.cpp).
+
+    The registration is part of the jitted device program — the host only
+    decodes and undistorts.
+    """
+    from dvo_tpu.ops.warp import map_depth_to_gray
+
+    if kcalib is None:
+        kcalib = KinectCalibration.kinect_v2()
+    if cfg is None:
+        cfg = DVOConfig.rgbd() if mode == "rgbd" else DVOConfig.monocular()
+    rgb_map = (
+        build_undistort_map(kcalib.rgb)
+        if undistort and kcalib.rgb.distortion is not None
+        else None
+    )
+    depth_map = (
+        build_undistort_map(kcalib.depth)
+        if undistort and kcalib.depth.distortion is not None
+        else None
+    )
+    rgb_K = jnp.asarray(kcalib.rgb.K)
+    depth_K = jnp.asarray(kcalib.depth.K)
+    invT = jnp.asarray(kcalib.invT)
+
+    @jax.jit
+    def register(gray, gray_mask, depth):
+        return map_depth_to_gray(depth, gray, gray_mask, rgb_K, depth_K, invT)
+
+    def prep(item):
+        gray = load_gray_normalized(item.gray_path)
+        depth = load_depth_meters(item.depth_path)
+        if rgb_map is not None:
+            gray, gmask = remap_nearest(gray, rgb_map, border=0.0)
+        else:
+            gmask = np.ones_like(gray, bool)
+        if depth_map is not None:
+            depth, _ = remap_nearest(depth, depth_map, border=0.0)
+        mapped, mask, sigma = register(
+            jnp.asarray(gray.astype(np.float32)),
+            jnp.asarray(gmask),
+            jnp.asarray(depth.astype(np.float32)),
+        )
+        return mapped, mask, jnp.asarray(depth.astype(np.float32)), sigma
+
+    items = list(sequence)[:max_frames]
+    mapped, mask, depth, sigma = prep(items[0])
+    poses = [np.eye(4, dtype=np.float32)]
+    times = [items[0].timestamp]
+    secs = []
+
+    if mode == "rgbd":
+        state = rgbd_init(mapped, mask, depth, sigma, depth_K, cfg)
+        for item in items[1:]:
+            mapped, mask, depth, sigma = prep(item)
+            t0 = time.perf_counter()
+            state, res = rgbd_step(state, mapped, mask, depth, sigma, depth_K, cfg)
+            jax.block_until_ready(res.T_world)
+            secs.append(time.perf_counter() - t0)
+            poses.append(np.asarray(res.T_world))
+            times.append(item.timestamp)
+            if verbose:
+                print(f"frame {int(state.frame_count)-1:4d} {secs[-1]*1e3:7.1f} ms")
+    else:
+        state = monocular_init_with_depth(
+            mapped, mask, depth, sigma, depth_K, jax.random.PRNGKey(0), cfg
+        )
+        for item in items[1:]:
+            mapped, mask, _, _ = prep(item)
+            t0 = time.perf_counter()
+            state, res = monocular_step(state, mapped, mask, depth_K, cfg)
+            jax.block_until_ready(res.T_world)
+            secs.append(time.perf_counter() - t0)
+            poses.append(np.asarray(res.T_world))
+            times.append(item.timestamp)
+            if verbose:
+                print(
+                    f"frame {int(state.frame_count)-1:4d} kf={bool(res.is_keyframe)} "
+                    f"{secs[-1]*1e3:7.1f} ms"
+                )
     return np.asarray(times), np.stack(poses), np.asarray(secs)
