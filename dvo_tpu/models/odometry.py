@@ -166,6 +166,25 @@ def monocular_step(state: VOState, gray, mask, K, cfg: DVOConfig = DVOConfig.mon
     return new_state, result
 
 
+@partial(jax.jit, static_argnames="cfg")
+def monocular_run(state: VOState, grays, masks, K, cfg: DVOConfig = DVOConfig.monocular()):
+    """Device-resident sequence driver: ``lax.scan`` of ``monocular_step``
+    over a stacked chunk of frames (grays/masks: (N, H, W)).
+
+    The reference's per-frame loop lives on host (main.cpp:36); on TPU a
+    per-frame host dispatch costs more than the compute at these image
+    sizes, so the whole chunk runs as ONE device program and only the
+    stacked ``StepResult``s return to host.  Returns (state', StepResult
+    with a leading N axis on every field)."""
+
+    def step(st, inp):
+        g, m = inp
+        st, res = monocular_step(st, g, m, K, cfg)
+        return st, res
+
+    return lax.scan(step, state, (grays, masks))
+
+
 # ----------------------------------------------------------------------- RGB-D
 
 @jax.tree_util.register_dataclass
@@ -205,3 +224,18 @@ def rgbd_step(state: RGBDState, gray, mask, depth, sigma, K, cfg: DVOConfig = DV
         ),
     )
     return RGBDState(ref=frame, frame_count=state.frame_count + 1), result
+
+
+@partial(jax.jit, static_argnames="cfg")
+def rgbd_run(state: RGBDState, grays, masks, depths, sigmas, K,
+             cfg: DVOConfig = DVOConfig.rgbd()):
+    """Device-resident RGB-D sequence driver: ``lax.scan`` of ``rgbd_step``
+    over a stacked chunk (leading N axis on grays/masks/depths/sigmas) —
+    see ``monocular_run``."""
+
+    def step(st, inp):
+        g, m, d, s = inp
+        st, res = rgbd_step(st, g, m, d, s, K, cfg)
+        return st, res
+
+    return lax.scan(step, state, (grays, masks, depths, sigmas))

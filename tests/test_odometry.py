@@ -12,6 +12,7 @@ from dvo_tpu import lie
 from dvo_tpu.config import DVOConfig, MapperConfig, PyramidConfig, TrackerConfig
 from dvo_tpu.models.odometry import (
     monocular_init,
+    monocular_run,
     monocular_step,
     rgbd_init,
     rgbd_step,
@@ -105,6 +106,39 @@ def test_monocular_pipeline_runs(rng):
     assert any(kf_flags)
     assert int(state.history.count) >= 2
     assert int(state.frame_count) == len(frames)
+
+
+def test_monocular_run_scan_matches_loop(rng):
+    """The device-resident lax.scan sequence driver must be bit-identical
+    to the host per-frame loop (it inlines the same jitted step)."""
+    h, w = 60, 80
+    frames, depth0, K = render_sequence(
+        rng, 4, h, w, np.array([0.012, 0, 0, 0, 0, 0], np.float32)
+    )
+    cfg = DVOConfig(
+        pyramid=PyramidConfig(levels=2, culls=0),
+        mapper=MapperConfig(crop_x=(8, 72), crop_y=(6, 54)),
+    )
+    key = jax.random.PRNGKey(3)
+    state0 = monocular_init(
+        jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]), jnp.asarray(K), key, cfg
+    )
+
+    grays = jnp.stack([jnp.asarray(f[0]) for f in frames[1:]])
+    masks = jnp.stack([jnp.asarray(f[1]) for f in frames[1:]])
+    st_scan, res = monocular_run(state0, grays, masks, jnp.asarray(K), cfg)
+
+    st = state0
+    for k in range(1, len(frames)):
+        st, r = monocular_step(
+            st, jnp.asarray(frames[k][0]), jnp.asarray(frames[k][1]), jnp.asarray(K), cfg
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.T_world[k - 1]), np.asarray(r.T_world)
+        )
+    np.testing.assert_array_equal(
+        np.asarray(st_scan.ref.base.depth), np.asarray(st.ref.base.depth)
+    )
 
 
 def test_monocular_deterministic(rng):
