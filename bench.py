@@ -10,9 +10,10 @@ exhibition laptop (src/track/tracker.cpp:18,68-73) with mapping on top, i.e.
 The benchmarked step is the COMPLETE monocular frame (reference main.cpp
 path at its native 640x480 input): frame build (cull pyramid + gradients),
 coarse-to-fine GN tracking, keyframe policy + epipolar depth mapping or
-propagate, and regularization — one jitted device program per frame,
-host->device image transfer included.  Real frames from the reference's
-logicool0 dataset when available, synthetic otherwise.
+propagate, and regularization.  Frames run as one ``lax.scan`` device
+program per 24-frame chunk (models/odometry.monocular_run) with the
+host->device chunk transfer inside the timed region.  Real frames from the
+reference's logicool0 dataset when available, synthetic otherwise.
 """
 
 import json

@@ -9,8 +9,8 @@ TPU-first:
 - static shapes + validity masks instead of ``INVALID`` sentinel scalars;
 - ``lax.scan`` Gauss-Newton iterations with convergence masking instead of
   wall-clock loop exits;
-- MXU one-hot-matmul bilinear sampling and Pallas kernels for the hot loops
-  (photometric GN normal equations, epipolar depth search);
+- MXU one-hot-matmul bilinear sampling and a Pallas kernel for the
+  photometric GN normal equations (hot loop #1);
 - a ``jax.sharding.Mesh`` keyframe/tile-sharded mapping and windowed
   bundle-adjustment layer the reference never had.
 

@@ -136,6 +136,11 @@ class BAConfig:
     """Windowed photometric bundle adjustment (new capability; no reference
     counterpart — SURVEY.md §7 phase 5)."""
 
+    # Run BA inside the VO pipeline on every keyframe promotion (once the
+    # ring holds a full window): refined poses/depths flow back into the
+    # keyframe ring and the new reference keyframe.  The hook point mirrors
+    # the reference's keyframe-creation path (mapper.cpp:16-33).
+    enabled: bool = False
     window: int = 7                   # keyframes per BA window
     iterations: int = 5               # Levenberg-Marquardt outer iterations
     damping: float = 1e-4

@@ -65,13 +65,19 @@ class BAWindow:
         return self.gray.shape[0]
 
 
+def window_slots(history, m: int) -> jax.Array:
+    """Ring slots of the newest ``m`` keyframes, oldest-first — the index
+    map shared by ``window_from_history`` and the post-BA write-back."""
+    from dvo_tpu.models.history import born_slot
+
+    ages = jnp.arange(m - 1, -1, -1)
+    return jax.vmap(lambda a: born_slot(history, a))(ages)
+
+
 def window_from_history(history, K, m: int) -> BAWindow:
     """Materialize the newest ``m`` keyframes (oldest-first) from the ring
     buffer into a dense window."""
-    ages = jnp.arange(m - 1, -1, -1)
-    from dvo_tpu.models.history import born_slot
-
-    slots = jax.vmap(lambda a: born_slot(history, a))(ages)
+    slots = window_slots(history, m)
     take = lambda arr: arr[slots]
     return BAWindow(
         gray=take(history.gray), mask=take(history.mask),

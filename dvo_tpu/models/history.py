@@ -79,6 +79,31 @@ def push(history: KeyframeHistory, frame: Frame) -> KeyframeHistory:
     )
 
 
+def refresh_head(history: KeyframeHistory, frame: Frame) -> KeyframeHistory:
+    """Write the reference keyframe's *current* state (depth/sigma refined by
+    every depth update since its push, pose possibly refined by BA) back into
+    its ring slot.  Called before pushing the next keyframe so the BA window
+    sees up-to-date maps, not push-time snapshots."""
+    s = frame.base
+    slot = history.head
+    return dataclasses.replace(
+        history,
+        depth=history.depth.at[slot].set(s.depth),
+        sigma=history.sigma.at[slot].set(s.sigma),
+        xi=history.xi.at[slot].set(frame.xi),
+    )
+
+
+def write_back(history: KeyframeHistory, slots, xi, depth) -> KeyframeHistory:
+    """Write BA-refined world poses and depth maps into the given ring slots
+    (slots (M,), xi (M, 6), depth (M, H, W))."""
+    return dataclasses.replace(
+        history,
+        xi=history.xi.at[slots].set(xi),
+        depth=history.depth.at[slots].set(depth),
+    )
+
+
 def born_slot(history: KeyframeHistory, age: jax.Array) -> jax.Array:
     """Slot index of the keyframe ``age`` keyframes before the newest
     (reference operator[], frame.hpp:176).  Ages beyond the live window are

@@ -180,6 +180,12 @@ class DepthUpdateStats:
     observed: jax.Array   # pixels with a gated-valid epipolar observation
     accepted: jax.Array   # observations fused (reference "valid update" log)
     rejected: jax.Array   # observations rejected -> reset + age cleared
+    aged_out: jax.Array   # pixels whose born keyframe left the ring buffer
+
+    @staticmethod
+    def zero() -> "DepthUpdateStats":
+        z = jnp.asarray(0, jnp.int32)
+        return DepthUpdateStats(observed=z, accepted=z, rejected=z, aged_out=z)
 
 
 def depth_update(
@@ -240,7 +246,13 @@ def depth_update(
     x0c, x1c = cfg.crop_x
     y0c, y1c = cfg.crop_y
     crop = (xs >= x0c) & (xs <= x1c) & (ys >= y0c) & (ys <= y1c)
-    pix_ok = crop & in_obj & in_front & obj_ok
+    # A pixel whose born keyframe has been evicted from the ring would
+    # epipolar-search the wrong image (born_slot clamps the age); gate it
+    # out and count it.  The reference's unbounded history never ages out
+    # (frame.hpp:146-188) — this is the fixed ring's explicit validity rule.
+    aged_ok = ref_age < history.count
+    aged_out_count = jnp.sum((crop & ~aged_ok).astype(jnp.int32))
+    pix_ok = crop & in_obj & in_front & obj_ok & aged_ok
 
     # --- 2. born keyframe (per ring slot, gathered per pixel) ---
     slot = born_slot(history, ref_age)                      # (H, W) int32
@@ -353,5 +365,6 @@ def depth_update(
         observed=jnp.sum(obs_ok.astype(jnp.int32)),
         accepted=jnp.sum((write & accepted).astype(jnp.int32)),
         rejected=jnp.sum(rejected.astype(jnp.int32)),
+        aged_out=aged_out_count,
     )
     return new_depth_map, new_sigma_map, new_age, stats

@@ -34,7 +34,7 @@ from dvo_tpu.models.frame import (
     with_depth,
     with_pose,
 )
-from dvo_tpu.models.history import KeyframeHistory, push
+from dvo_tpu.models.history import KeyframeHistory, push, refresh_head, write_back
 from dvo_tpu.models.mapper import (
     DepthUpdateStats,
     depth_update,
@@ -64,6 +64,7 @@ class StepResult:
     is_keyframe: jax.Array    # () bool — frame promoted to keyframe
     tracking: TrackResult
     mapping: DepthUpdateStats
+    ba_cost: jax.Array        # () final windowed-BA cost; -1 when BA not run
 
 
 # ------------------------------------------------------------------ monocular
@@ -123,11 +124,9 @@ def monocular_step(state: VOState, gray, mask, K, cfg: DVOConfig = DVOConfig.mon
     need_kf = need_new_keyframe(
         tr.xi, frame.frame_id, state.ref.frame_id, cfg.mapper
     )
-    zero_stats = DepthUpdateStats(
-        observed=jnp.asarray(0, jnp.int32),
-        accepted=jnp.asarray(0, jnp.int32),
-        rejected=jnp.asarray(0, jnp.int32),
-    )
+    zero_stats = DepthUpdateStats.zero()
+
+    no_ba_cost = jnp.asarray(-1.0, jnp.float32)
 
     def promote(_):
         base = state.ref.base
@@ -136,7 +135,42 @@ def monocular_step(state: VOState, gray, mask, K, cfg: DVOConfig = DVOConfig.mon
             cfg.mapper, cfg.init,
         )
         new_ref = with_depth(frame, d, s, age)
-        return push(state.history, new_ref), new_ref, zero_stats
+        # The outgoing keyframe's ring slot still holds its push-time maps;
+        # write its final (depth-updated, regularized) state back before the
+        # new keyframe joins, so the BA window sees current data.
+        hist = push(refresh_head(state.history, state.ref), new_ref)
+
+        if cfg.ba.enabled:
+            # Windowed BA on keyframe promotion (VERDICT hook point,
+            # reference mapper.cpp:16-33): refine the newest `window`
+            # keyframe poses + depth maps, write back into the ring, and
+            # carry the refined pose/depth into the new reference keyframe.
+            from dvo_tpu.models.ba import (
+                bundle_adjust,
+                window_from_history,
+                window_slots,
+            )
+
+            def run_ba(h_r):
+                h, r = h_r
+                win = window_from_history(h, r.base.K, cfg.ba.window)
+                res = bundle_adjust(win, cfg.ba)
+                h = write_back(h, window_slots(h, cfg.ba.window), res.xi, res.depth)
+                # Newest window entry (== the just-pushed reference).
+                r = dataclasses.replace(
+                    with_depth(r, res.depth[-1]), xi=res.xi[-1]
+                )
+                return h, r, res.costs[-1]
+
+            def skip_ba(h_r):
+                return h_r[0], h_r[1], no_ba_cost
+
+            hist, new_ref, cost = lax.cond(
+                hist.count >= cfg.ba.window, run_ba, skip_ba, (hist, new_ref)
+            )
+        else:
+            cost = no_ba_cost
+        return hist, new_ref, zero_stats, cost
 
     def update(_):
         base = state.ref.base
@@ -145,9 +179,9 @@ def monocular_step(state: VOState, gray, mask, K, cfg: DVOConfig = DVOConfig.mon
             base.depth, base.sigma, state.ref.age,
             state.history, k_reset, cfg.mapper,
         )
-        return state.history, with_depth(state.ref, d, s, age), stats
+        return state.history, with_depth(state.ref, d, s, age), stats, no_ba_cost
 
-    history, ref, stats = lax.cond(need_kf, promote, update, None)
+    history, ref, stats, ba_cost = lax.cond(need_kf, promote, update, None)
 
     # --- regularize the reference keyframe (mapper.cpp:30,139-144) ---
     reg = regularize(ref.base.depth, ref.base.sigma, cfg.mapper)
@@ -156,12 +190,17 @@ def monocular_step(state: VOState, gray, mask, K, cfg: DVOConfig = DVOConfig.mon
     new_state = VOState(
         history=history, ref=ref, key=key, frame_count=state.frame_count + 1
     )
+    # When this frame was promoted, `ref` IS this frame (with its pose
+    # possibly BA-refined) — emit that pose so refinements reach the
+    # trajectory; otherwise the tracked pose.
+    pose_xi = jnp.where(need_kf, ref.xi, frame.xi)
     result = StepResult(
-        T_world=lie.se3_exp(frame.xi),
+        T_world=lie.se3_exp(pose_xi),
         relative_xi=tr.xi,
         is_keyframe=need_kf,
         tracking=tr,
         mapping=stats,
+        ba_cost=ba_cost,
     )
     return new_state, result
 
@@ -217,11 +256,8 @@ def rgbd_step(state: RGBDState, gray, mask, depth, sigma, K, cfg: DVOConfig = DV
         relative_xi=tr.xi,
         is_keyframe=jnp.asarray(True),
         tracking=tr,
-        mapping=DepthUpdateStats(
-            observed=jnp.asarray(0, jnp.int32),
-            accepted=jnp.asarray(0, jnp.int32),
-            rejected=jnp.asarray(0, jnp.int32),
-        ),
+        mapping=DepthUpdateStats.zero(),
+        ba_cost=jnp.asarray(-1.0, jnp.float32),
     )
     return RGBDState(ref=frame, frame_count=state.frame_count + 1), result
 

@@ -20,7 +20,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from dvo_tpu.config import MapperConfig
 from dvo_tpu.models.frame import Scene
 from dvo_tpu.models.history import KeyframeHistory
-from dvo_tpu.models.mapper import DepthUpdateStats, depth_update
+from dvo_tpu.models.mapper import depth_update
 
 
 def sharded_depth_update(
@@ -61,11 +61,7 @@ def sharded_depth_update(
             obj_s, oxw, rxi, rd, rs, ra, hist, k_tile, cfg,
             y_offset=y0, full_shape=(h, w),
         )
-        stats = DepthUpdateStats(
-            observed=lax.psum(stats.observed, axis),
-            accepted=lax.psum(stats.accepted, axis),
-            rejected=lax.psum(stats.rejected, axis),
-        )
+        stats = jax.tree.map(lambda v: lax.psum(v, axis), stats)
         return d, s, a, stats
 
     return block(obj, obj_xi_w, rel_xi, ref_depth, ref_sigma, ref_age, history, key)

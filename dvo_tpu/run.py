@@ -39,6 +39,13 @@ def main(argv=None):
                     help="write per-frame JSONL metrics to this path")
     ap.add_argument("--checkpoint", default=None,
                     help="save the final VO device state (.npz) here (mono mode)")
+    ap.add_argument("--ba", action="store_true",
+                    help="run windowed bundle adjustment on every keyframe "
+                         "promotion (mono mode)")
+    ap.add_argument("--ba-window", type=int, default=4,
+                    help="BA window size in keyframes (<= history capacity)")
+    ap.add_argument("--ba-iters", type=int, default=5,
+                    help="BA Gauss-Newton iterations per window")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -56,6 +63,25 @@ def main(argv=None):
     from dvo_tpu.utils.runner import run_kinect, run_monocular, run_rgbd
     from dvo_tpu.utils.trajectory import ate_rmse, read_tum, write_tum
 
+    from dvo_tpu.utils.metrics import MetricsLogger
+
+    metrics = MetricsLogger(args.metrics)
+    # mono estimates depth up to scale; ATE is evaluated with Umeyama scale
+    # alignment there (kinect modes carry metric depth, no scale fit).
+    ate_with_scale = args.mode == "mono" and args.format != "kinect"
+
+    import dataclasses as _dc
+
+    cfg_mono = DVOConfig.monocular()
+    if args.ba:
+        cfg_mono = _dc.replace(
+            cfg_mono,
+            ba=_dc.replace(
+                cfg_mono.ba, enabled=True, window=args.ba_window,
+                iterations=args.ba_iters,
+            ),
+        )
+
     if args.format == "kinect":
         import os
 
@@ -66,10 +92,11 @@ def main(argv=None):
             else KinectCalibration.kinect_v2()
         )
         ts, poses, secs = run_kinect(
-            seq, kcal, mode=args.mode, max_frames=args.max_frames,
+            seq, kcal, cfg=cfg_mono if args.mode == "mono" else None,
+            mode=args.mode, max_frames=args.max_frames,
             undistort=not args.no_undistort, verbose=args.verbose,
+            metrics=metrics,
         )
-        args.mode = f"kinect-{args.mode}"
     elif args.format == "tum":
         seq = TUMSequence(args.data)
         calib = Calibration.from_yaml(args.calib) if args.calib else Calibration.tum_freiburg1()
@@ -79,15 +106,11 @@ def main(argv=None):
         seq = InfoSequence(os.path.join(args.data, "info.txt"))
         calib = Calibration.from_yaml(args.calib) if args.calib else Calibration.logicool()
 
-    from dvo_tpu.utils.metrics import MetricsLogger
-
-    metrics = MetricsLogger(args.metrics)
-
     if args.format == "kinect":
         pass
     elif args.mode == "mono":
         ts, poses, secs = run_monocular(
-            seq, calib, DVOConfig.monocular(), seed=args.seed,
+            seq, calib, cfg_mono, seed=args.seed,
             max_frames=args.max_frames, undistort=not args.no_undistort,
             verbose=args.verbose, metrics=metrics,
             checkpoint_out=args.checkpoint,
@@ -96,7 +119,7 @@ def main(argv=None):
         ts, poses, secs = run_rgbd(
             seq, calib, DVOConfig.rgbd(),
             max_frames=args.max_frames, undistort=not args.no_undistort,
-            verbose=args.verbose,
+            verbose=args.verbose, metrics=metrics,
         )
 
     metrics.close()
@@ -110,7 +133,7 @@ def main(argv=None):
         gt_t, gt_xyz = read_tum(args.gt)
         est_xyz = poses[:, :3, 3]
         report["ate_rmse_m"] = round(
-            ate_rmse(ts, est_xyz, gt_t, gt_xyz, with_scale=(args.mode == "mono")), 4
+            ate_rmse(ts, est_xyz, gt_t, gt_xyz, with_scale=ate_with_scale), 4
         )
     print(json.dumps(report))
     return 0

@@ -77,6 +77,12 @@ class MetricsLogger:
             map_observed=int(np.asarray(result.mapping.observed)),
             map_accepted=int(np.asarray(result.mapping.accepted)),
             map_rejected=int(np.asarray(result.mapping.rejected)),
+            map_aged_out=int(np.asarray(result.mapping.aged_out)),
+            ba_cost=(
+                round(float(np.asarray(result.ba_cost)), 6)
+                if float(np.asarray(result.ba_cost)) >= 0
+                else None
+            ),
         )
         self._n += 1
 

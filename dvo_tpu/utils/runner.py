@@ -93,6 +93,7 @@ def run_rgbd(
     max_frames: Optional[int] = None,
     undistort: bool = True,
     verbose: bool = False,
+    metrics=None,
 ):
     """RGB-D frame-to-frame tracking (odometrizeUsingDepth mode).  Depth
     pixels with no measurement get sigma 1.0, valid ones ``depth_sigma``
@@ -128,6 +129,8 @@ def run_rgbd(
         secs.append(time.perf_counter() - t0)
         poses.append(np.asarray(res.T_world))
         times.append(item.timestamp)
+        if metrics is not None:
+            metrics.log_frame(res, secs[-1], item.timestamp)
         if verbose:
             print(f"frame {int(state.frame_count)-1:4d} {secs[-1]*1e3:7.1f} ms")
     return np.asarray(times), np.stack(poses), np.asarray(secs)
@@ -141,6 +144,7 @@ def run_kinect(
     max_frames: Optional[int] = None,
     undistort: bool = True,
     verbose: bool = False,
+    metrics=None,
 ):
     """Kinect v2 dual-camera pipeline (reference KinectLoader::getMappedImages,
     loader.cpp:90-101 + test/kinect-vo.cpp): undistort color and depth with
@@ -211,6 +215,8 @@ def run_kinect(
             secs.append(time.perf_counter() - t0)
             poses.append(np.asarray(res.T_world))
             times.append(item.timestamp)
+            if metrics is not None:
+                metrics.log_frame(res, secs[-1], item.timestamp)
             if verbose:
                 print(f"frame {int(state.frame_count)-1:4d} {secs[-1]*1e3:7.1f} ms")
     else:
@@ -225,6 +231,8 @@ def run_kinect(
             secs.append(time.perf_counter() - t0)
             poses.append(np.asarray(res.T_world))
             times.append(item.timestamp)
+            if metrics is not None:
+                metrics.log_frame(res, secs[-1], item.timestamp)
             if verbose:
                 print(
                     f"frame {int(state.frame_count)-1:4d} kf={bool(res.is_keyframe)} "

@@ -7,6 +7,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dvo_tpu import lie
 from dvo_tpu.config import BAConfig
@@ -36,6 +37,7 @@ def _project_chain(K, T_k, T_j, px, py, depth):
     return fn
 
 
+@pytest.mark.slow
 def test_geometric_jacobians_match_autodiff(rng):
     """The BA pose/depth Jacobians are [gx gy] . du/dparams; verify
     du/dparams against jacfwd of the full chain at random states."""
@@ -139,6 +141,7 @@ def _make_window(rng, m=4, h=48, w=64, pose_noise=0.0, depth_noise=0.0):
     return window, true_xi
 
 
+@pytest.mark.slow
 def test_ba_cost_decreases(rng):
     window, true_xi = _make_window(rng, pose_noise=0.004)
     res = bundle_adjust(window, BAConfig(iterations=4, damping=1e-3))
@@ -163,6 +166,7 @@ def test_ba_jit_compiles(rng):
     assert np.all(np.isfinite(np.asarray(res.xi)))
 
 
+@pytest.mark.slow
 def test_sharded_ba_matches_single_device(rng):
     from dvo_tpu.parallel.ba import bundle_adjust_sharded
     from dvo_tpu.parallel.mesh import make_mesh
@@ -187,6 +191,7 @@ def test_sharded_ba_matches_single_device(rng):
     assert np.quantile(ddiff, 0.95) < 0.05, np.quantile(ddiff, 0.95)
 
 
+@pytest.mark.slow
 def test_sharded_ba_two_device_mesh(rng):
     from dvo_tpu.parallel.ba import bundle_adjust_sharded
     from dvo_tpu.parallel.mesh import make_mesh

@@ -15,6 +15,7 @@ from dvo_tpu.models.odometry import (
     monocular_run,
     monocular_step,
     rgbd_init,
+    rgbd_run,
     rgbd_step,
 )
 from dvo_tpu.ops.warp import warp_image
@@ -133,11 +134,49 @@ def test_monocular_run_scan_matches_loop(rng):
         st, r = monocular_step(
             st, jnp.asarray(frames[k][0]), jnp.asarray(frames[k][1]), jnp.asarray(K), cfg
         )
-        np.testing.assert_array_equal(
-            np.asarray(res.T_world[k - 1]), np.asarray(r.T_world)
+        # Tight tolerance, not bit-exact: XLA may fuse the standalone step
+        # and the scan-inlined step differently on some backends.
+        np.testing.assert_allclose(
+            np.asarray(res.T_world[k - 1]), np.asarray(r.T_world),
+            rtol=1e-6, atol=1e-6,
         )
-    np.testing.assert_array_equal(
-        np.asarray(st_scan.ref.base.depth), np.asarray(st.ref.base.depth)
+    np.testing.assert_allclose(
+        np.asarray(st_scan.ref.base.depth), np.asarray(st.ref.base.depth),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_rgbd_run_scan_matches_loop(rng):
+    """The device-resident RGB-D lax.scan driver must match the host
+    per-frame loop (mirrors the monocular equivalence test)."""
+    h, w = 64, 96
+    step = np.array([0.006, 0, 0.004, 0, 0.001, 0], np.float32)
+    frames, depth0, K = render_sequence(rng, 5, h, w, step)
+    sigma = np.full((h, w), 0.1, np.float32)
+    cfg = DVOConfig(pyramid=PyramidConfig(levels=2, culls=0))
+
+    state0 = rgbd_init(
+        jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]),
+        jnp.asarray(depth0), jnp.asarray(sigma), jnp.asarray(K), cfg
+    )
+    grays = jnp.stack([jnp.asarray(f[0]) for f in frames[1:]])
+    masks = jnp.stack([jnp.asarray(f[1]) for f in frames[1:]])
+    depths = jnp.stack([jnp.asarray(depth0 - k * step[2]) for k in range(1, len(frames))])
+    sigmas = jnp.stack([jnp.asarray(sigma)] * (len(frames) - 1))
+    st_scan, res = rgbd_run(state0, grays, masks, depths, sigmas, jnp.asarray(K), cfg)
+
+    st = state0
+    for k in range(1, len(frames)):
+        st, r = rgbd_step(
+            st, grays[k - 1], masks[k - 1], depths[k - 1], sigmas[k - 1],
+            jnp.asarray(K), cfg,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.T_world[k - 1]), np.asarray(r.T_world),
+            rtol=1e-6, atol=1e-6,
+        )
+    np.testing.assert_allclose(
+        np.asarray(st_scan.ref.xi), np.asarray(st.ref.xi), rtol=1e-6, atol=1e-6
     )
 
 

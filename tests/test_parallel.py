@@ -30,6 +30,7 @@ def test_devices_available():
 
 
 @pytest.mark.parametrize("tiles", [2, 4, 8])
+@pytest.mark.slow
 def test_sharded_gn_matches_single_device(rng, tiles):
     obj, ref, _ = _frames(rng, 64, 96, levels=1)
     mesh = make_mesh((tiles,), ("tile",))
@@ -75,6 +76,7 @@ def test_pod_mesh_and_initialize():
     assert dict(pod_mesh(kf=4).shape) == {"kf": 4, "tile": 2}
 
 
+@pytest.mark.slow
 def test_sharded_depth_update_matches_single_device(rng):
     from dvo_tpu.config import MapperConfig
     from dvo_tpu.models.history import KeyframeHistory, push
