@@ -9,8 +9,10 @@ TPU-first:
 - static shapes + validity masks instead of ``INVALID`` sentinel scalars;
 - ``lax.scan`` Gauss-Newton iterations with convergence masking instead of
   wall-clock loop exits;
-- MXU one-hot-matmul bilinear sampling and a Pallas kernel for the
-  photometric GN normal equations (hot loop #1);
+- MXU one-hot-matmul bilinear sampling and Pallas kernels for both hot
+  loops (photometric GN normal equations; epipolar depth search fused with
+  the Gaussian depth-filter update), each with an XLA twin — the default
+  backend per operating point is chosen by measurement (bench_kernels.py);
 - a ``jax.sharding.Mesh`` keyframe/tile-sharded mapping and windowed
   bundle-adjustment layer the reference never had.
 

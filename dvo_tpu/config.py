@@ -64,6 +64,10 @@ class TrackerConfig:
     # GN linearization backend: "xla" (gather-based, exact reference
     # sampling semantics) or "pallas" (fused VMEM kernel, MXU one-hot
     # sampling with clamp-to-edge borders — see ops/pallas/gn.py).
+    # Default chosen by measurement (bench_kernels.py on a v5e chip): at the
+    # reference operating points (160x120 / 256x212) the two backends tie
+    # within run-to-run noise (~0.05-0.08 ms per full track), so the one
+    # with exact reference sampling semantics stays default.
     backend: str = "xla"
 
 

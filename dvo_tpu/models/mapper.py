@@ -230,7 +230,9 @@ def depth_update(
     xy = jnp.stack([xs, ys], axis=-1)
     K = obj.K
     tz = rel_xi[2]
-    S = 102  # fixed march length; reference caps at ~100 steps (:141)
+    # Fixed march length: the reference caps at ~100 steps (:141); +2 covers
+    # the SSD window's trailing offsets.
+    S = cfg.max_steps + 2
 
     # --- 1. ref pixel -> obj pixel (rounded) ---
     T_rel = lie.se3_exp(rel_xi)
@@ -368,3 +370,124 @@ def depth_update(
         aged_out=aged_out_count,
     )
     return new_depth_map, new_sigma_map, new_age, stats
+
+
+def depth_update_pallas(
+    obj: Scene,
+    obj_xi_w: jax.Array,
+    rel_xi: jax.Array,
+    ref_depth: jax.Array,
+    ref_sigma: jax.Array,
+    ref_age: jax.Array,
+    history: KeyframeHistory,
+    key: jax.Array,
+    cfg: MapperConfig = MapperConfig(),
+    interpret: bool = False,
+):
+    """Pallas twin of ``depth_update``: identical prior/segment prep in XLA
+    (cheap dense math), with the gather-bound march + triangulation + sigma
+    model + Gaussian fusion fused into one kernel
+    (ops/pallas/epipolar.py).  Full-image only (no row-block sharding hook).
+
+    Returns (new_depth, new_sigma, new_age, DepthUpdateStats)."""
+    from dvo_tpu.ops.pallas.epipolar import N_FIELDS, epipolar_update_pallas
+
+    h, w = ref_depth.shape
+    xs, ys = pixel_grid(h, w)
+    xy = jnp.stack([xs, ys], axis=-1)
+    K = obj.K
+    tz = rel_xi[2]
+
+    # --- prior + gates (identical to depth_update steps 1-3) ---
+    T_rel = lie.se3_exp(rel_xi)
+    warped, in_front = project(K, lie.transform(T_rel, back_project(K, xy, ref_depth)))
+    ox = jnp.rint(warped[..., 0]).astype(jnp.int32)
+    oy = jnp.rint(warped[..., 1]).astype(jnp.int32)
+    in_obj = (ox >= 0) & (ox < w) & (oy >= 0) & (oy < h)
+    oxc = jnp.clip(ox, 0, w - 1)
+    oyc = jnp.clip(oy, 0, h - 1)
+    obj_val = obj.gray[oyc, oxc]
+    obj_ok = obj.mask[oyc, oxc]
+
+    x0c, x1c = cfg.crop_x
+    y0c, y1c = cfg.crop_y
+    crop = (xs >= x0c) & (xs <= x1c) & (ys >= y0c) & (ys <= y1c)
+    aged_ok = ref_age < history.count
+    aged_out_count = jnp.sum((crop & ~aged_ok).astype(jnp.int32))
+    pix_ok = crop & in_obj & in_front & obj_ok & aged_ok
+
+    slot = born_slot(history, ref_age)
+    r_xi_slots = jax.vmap(lambda bx: lie.compose(obj_xi_w, -bx))(history.xi)
+    T_es_slots = lie.se3_exp(-r_xi_slots)
+    r_xi_px = r_xi_slots[slot]
+    T_es = T_es_slots[slot]
+
+    prior_d = ref_depth - tz
+    prior_s = ref_sigma
+
+    # --- segment endpoints (4a) ---
+    obj_xyf = jnp.stack([oxc.astype(jnp.float32), oyc.astype(jnp.float32)], axis=-1)
+    dmin = jnp.maximum(prior_d - prior_s, cfg.min_search_depth)
+    dmax = prior_d + prior_s
+
+    def es_endpoint(d):
+        pts = lie.transform(T_es, back_project(K, obj_xyf, d))
+        return project(K, pts)
+
+    start, start_front = es_endpoint(dmax)
+    end, end_front = es_endpoint(dmin)
+    seg = end - start
+    length = jnp.sqrt(jnp.sum(seg * seg, axis=-1) + 1e-20)
+    seg_ok = (length > 1e-6) & start_front & end_front & (dmax > dmin)
+    direction = seg / length[..., None]
+
+    # --- triangulation coefficients (4c precompute) ---
+    x_q = back_project(K, obj_xyf, jnp.ones_like(prior_d))
+    t_tw = -r_xi_px[..., :3]
+    R_inv = T_es[..., :3, :3]
+    r3_dot_q = jnp.einsum("hwi,hwi->hw", R_inv[..., 2, :], x_q)
+    KRq = jnp.einsum("ij,hwj->hwi", K, jnp.einsum("hwij,hwj->hwi", R_inv, x_q))
+    Kt = jnp.einsum("ij,hwj->hwi", K, t_tw)
+
+    # --- reset draw (gaussian.cpp:22-25; PRNG outside the kernel) ---
+    lo, hi = cfg.depth_filter.reset_depth_range
+    reset_depth = jnp.minimum(
+        jax.random.uniform(key, (h, w), minval=lo, maxval=hi),
+        cfg.depth_filter.reset_depth_cap,
+    )
+
+    fields = jnp.stack(
+        [
+            start[..., 0], start[..., 1], direction[..., 0], direction[..., 1],
+            length, obj_val, slot.astype(jnp.float32),
+            prior_d, prior_s, dmin, dmax,
+            r3_dot_q, KRq[..., 0], KRq[..., 1], KRq[..., 2],
+            t_tw[..., 2], Kt[..., 0], Kt[..., 1], Kt[..., 2],
+            ref_depth, ref_sigma, ref_age.astype(jnp.float32),
+            (pix_ok & seg_ok).astype(jnp.float32), reset_depth,
+        ],
+        axis=0,
+    )
+    assert fields.shape[0] == N_FIELDS
+
+    c = history.capacity
+    born_stack = jnp.concatenate(
+        [
+            history.gray.reshape(c * h, w),
+            history.gx.reshape(c * h, w),
+            history.gy.reshape(c * h, w),
+            history.gmask.astype(jnp.float32).reshape(c * h, w),
+        ],
+        axis=0,
+    )
+
+    depth_out, sigma_out, age_f, kstats = epipolar_update_pallas(
+        fields, born_stack, capacity=c, cfg=cfg, interpret=interpret
+    )
+    stats = DepthUpdateStats(
+        observed=kstats[0].astype(jnp.int32),
+        accepted=kstats[1].astype(jnp.int32),
+        rejected=kstats[2].astype(jnp.int32),
+        aged_out=aged_out_count,
+    )
+    return depth_out, sigma_out, age_f.astype(ref_age.dtype), stats

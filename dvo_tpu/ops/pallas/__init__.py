@@ -5,5 +5,6 @@ makes them runnable (slowly) on CPU for unit tests.
 """
 
 from dvo_tpu.ops.pallas.gn import gn_terms_pallas
+from dvo_tpu.ops.pallas.epipolar import epipolar_update_pallas
 
-__all__ = ["gn_terms_pallas"]
+__all__ = ["gn_terms_pallas", "epipolar_update_pallas"]

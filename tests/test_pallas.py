@@ -44,6 +44,52 @@ def test_pallas_gn_matches_xla(rng):
     np.testing.assert_allclose(float(r2), float(r1), rtol=1e-5)
 
 
+def test_pallas_epipolar_matches_xla(rng):
+    """depth_update vs depth_update_pallas (interpret mode): identical
+    depth/sigma/age maps and stats given the same PRNG key.  Uses the
+    proven single-keyframe epipolar setup (wide -0.1 m baseline, sharp
+    texture) so a substantial pixel set passes every gate; a reduced march
+    (max_steps=40) keeps the interpret-mode fori tractable."""
+    import jax as _jax
+
+    from dvo_tpu.config import MapperConfig
+    from dvo_tpu.models.history import KeyframeHistory, push
+    from dvo_tpu.models.mapper import depth_update, depth_update_pallas
+
+    from test_mapper import _single_kf_setup
+
+    h, w = 48, 64
+    ref_img, true_depth, K, xi, obj_img, obj_mask, mk = _single_kf_setup(rng, h, w)
+    ref_frame = mk(ref_img, np.ones((h, w), bool), true_depth,
+                   np.full((h, w), 0.5, np.float32), 0)
+    history = push(KeyframeHistory.create(4, h, w), ref_frame)
+
+    noisy = np.clip(rng.normal(1.7, 0.4, (h, w)), 0.5, None).astype(np.float32)
+    sigma0 = np.full((h, w), 0.5, np.float32)
+    obj_frame = mk(obj_img, obj_mask, true_depth, sigma0, 1)
+    cfg = MapperConfig(
+        crop_x=(6, w - 8), crop_y=(5, h - 6), max_steps=40,
+        luminance_sigma=0.25, epipolar_sigma=0.25,
+    )
+    age = jnp.zeros((h, w), jnp.int32)
+    key = _jax.random.PRNGKey(5)
+    args = (
+        obj_frame.scenes[0], jnp.asarray(xi), jnp.asarray(xi),
+        jnp.asarray(noisy), jnp.asarray(sigma0), age, history, key, cfg,
+    )
+    d1, s1, a1, st1 = depth_update(*args)
+    d2, s2, a2, st2 = depth_update_pallas(*args, interpret=True)
+
+    assert int(st1.observed) == int(st2.observed)
+    assert int(st1.accepted) == int(st2.accepted)
+    assert int(st1.rejected) == int(st2.rejected)
+    assert int(st1.aged_out) == int(st2.aged_out)
+    assert int(st1.observed) > 100  # the comparison is not vacuous
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(a1))
+
+
 def test_pallas_backend_track(rng):
     """Full coarse-to-fine track with backend='pallas' converges to the same
     twist as the XLA backend."""
