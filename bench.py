@@ -1,19 +1,26 @@
 """Benchmark: full per-frame VO pipeline throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 Baseline: the reference budgets 200 ms/frame for tracking alone on its
 exhibition laptop (src/track/tracker.cpp:18,68-73) with mapping on top, i.e.
 <= 5 frames/s end-to-end (SURVEY.md §6).  BASELINE.json's north star is
 >= 10x on one TPU v5e chip.
 
-The benchmarked step is the COMPLETE monocular frame (reference main.cpp
-path at its native 640x480 input): frame build (cull pyramid + gradients),
+Headline metric: the COMPLETE monocular frame (reference main.cpp path at
+its native 640x480 input) — frame build (cull pyramid + gradients),
 coarse-to-fine GN tracking, keyframe policy + epipolar depth mapping or
 propagate, and regularization.  Frames run as one ``lax.scan`` device
 program per 24-frame chunk (models/odometry.monocular_run) with the
-host->device chunk transfer inside the timed region.  Real frames from the
-reference's logicool0 dataset when available, synthetic otherwise.
+host->device chunk transfer inside the timed region; the reported number is
+the MEDIAN over 5 timed repetitions (the first post-warmup dispatch is
+reliably ~30% slow — host page faults on the chunk buffer).  Real frames
+from the reference's logicool0 dataset when available, synthetic otherwise.
+
+``extra`` reports the second operating point (RGB-D tracking at the
+reference's 512x424 Kinect input, system.hpp:30,82), GN iterations/s, and
+which tracker backend was measured (TrackerConfig.backend — "xla", chosen
+over the Pallas kernel by measurement; see bench_kernels.py).
 """
 
 import json
@@ -27,22 +34,8 @@ REFERENCE_FPS = 5.0  # 200 ms/frame tracking budget, tracker.cpp:18
 DATA = "/root/reference/data/logicool0"
 
 
-def _load_frames(n):
-    frames = []
-    if os.path.isdir(DATA):
-        try:
-            from PIL import Image
-
-            for i in range(n):
-                p = os.path.join(DATA, f"{i:04d}.png")
-                frames.append(np.asarray(Image.open(p).convert("L"), np.float32) / 255.0)
-            return frames, np.array(
-                [[780.0, 0, 378], [0, 796.0, 220], [0, 0, 1]], np.float32
-            )
-        except Exception:
-            frames = []
-    rng = np.random.default_rng(0)
-    h, w = 480, 640
+def _synth(h, w, n, seed=0):
+    rng = np.random.default_rng(seed)
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
     base = np.zeros((h, w), np.float32)
     for _ in range(8):
@@ -50,11 +43,30 @@ def _load_frames(n):
         ph = rng.uniform(0, 6.28, 2)
         base += rng.uniform(0.3, 1.0) * np.sin(fx * xs + ph[0]) * np.sin(fy * ys + ph[1])
     base = (base - base.min()) / (base.max() - base.min())
-    frames = [np.roll(base, i, axis=1) for i in range(n)]
-    return frames, np.array([[600.0, 0, w / 2], [0, 600.0, h / 2], [0, 0, 1]], np.float32)
+    return [np.roll(base, i, axis=1) for i in range(n)]
 
 
-def main():
+def _load_frames(n):
+    if os.path.isdir(DATA):
+        try:
+            from PIL import Image
+
+            frames = []
+            for i in range(n):
+                p = os.path.join(DATA, f"{i:04d}.png")
+                frames.append(np.asarray(Image.open(p).convert("L"), np.float32) / 255.0)
+            return frames, np.array(
+                [[780.0, 0, 378], [0, 796.0, 220], [0, 0, 1]], np.float32
+            )
+        except Exception:
+            pass
+    h, w = 480, 640
+    return _synth(h, w, n), np.array(
+        [[600.0, 0, w / 2], [0, 600.0, h / 2], [0, 0, 1]], np.float32
+    )
+
+
+def bench_monocular(reps=5, chunk=24):
     import jax
     import jax.numpy as jnp
 
@@ -62,35 +74,78 @@ def main():
     from dvo_tpu.models.odometry import monocular_init, monocular_run
 
     cfg = DVOConfig.monocular()
-    chunk = 24
     frames, K = _load_frames(2 * chunk + 1)
     h, w = frames[0].shape
     Kd = jnp.asarray(K)
     mask = jnp.ones((h, w), bool)
     masks = jnp.ones((chunk, h, w), bool)
-    # Host->device transfer is part of the measured path: frames arrive as
-    # stacked numpy chunks, the whole chunk runs as one lax.scan device
-    # program (models/odometry.monocular_run).
-    chunks = [
-        np.stack(frames[1 + i * chunk : 1 + (i + 1) * chunk]) for i in range(2)
-    ]
+    chunks = [np.stack(frames[1 + i * chunk : 1 + (i + 1) * chunk]) for i in range(2)]
 
     state = monocular_init(jnp.asarray(frames[0]), mask, Kd, jax.random.PRNGKey(0), cfg)
-    # Warmup: compiles the scanned step (both mapper branches are cond arms).
+    # Warmup compiles the scanned step (both mapper branches are cond arms).
     state, res = monocular_run(state, jnp.asarray(chunks[0]), masks, Kd, cfg)
     jax.block_until_ready(res.T_world)
 
-    t0 = time.perf_counter()
-    state, res = monocular_run(state, jnp.asarray(chunks[1]), masks, Kd, cfg)
-    jax.block_until_ready(res.T_world)
-    dt = time.perf_counter() - t0
-    fps = chunk / dt
+    fps = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _, res = monocular_run(state, jnp.asarray(chunks[1]), masks, Kd, cfg)
+        jax.block_until_ready(res.T_world)
+        fps.append(chunk / (time.perf_counter() - t0))
+    med = float(np.median(fps))
+    # The program evaluates every GN iteration (convergence is masked).
+    gn_iters = cfg.tracker.max_iterations * cfg.pyramid.levels
+    return med, med * gn_iters, cfg.tracker.backend
 
+
+def bench_rgbd(reps=5, chunk=16):
+    import jax
+    import jax.numpy as jnp
+
+    from dvo_tpu.config import DVOConfig
+    from dvo_tpu.models.odometry import rgbd_init, rgbd_run
+
+    cfg = DVOConfig.rgbd()
+    h, w = 424, 512  # Kinect v2 depth-camera frame (system.hpp:30,82)
+    frames = _synth(h, w, chunk + 1, seed=2)
+    depth = np.full((h, w), 1.6, np.float32)
+    sigma = np.full((h, w), 0.1, np.float32)
+    K = jnp.asarray([[365.0, 0, w / 2], [0, 365.0, h / 2], [0, 0, 1]], jnp.float32)
+    mask = jnp.ones((h, w), bool)
+
+    state = rgbd_init(
+        jnp.asarray(frames[0]), mask, jnp.asarray(depth), jnp.asarray(sigma), K, cfg
+    )
+    grays = np.stack(frames[1:])
+    masks = jnp.ones((chunk, h, w), bool)
+    depths = jnp.broadcast_to(jnp.asarray(depth), (chunk, h, w))
+    sigmas = jnp.broadcast_to(jnp.asarray(sigma), (chunk, h, w))
+
+    _, res = rgbd_run(state, jnp.asarray(grays), masks, depths, sigmas, K, cfg)
+    jax.block_until_ready(res.T_world)
+    fps = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _, res = rgbd_run(state, jnp.asarray(grays), masks, depths, sigmas, K, cfg)
+        jax.block_until_ready(res.T_world)
+        fps.append(chunk / (time.perf_counter() - t0))
+    return float(np.median(fps))
+
+
+def main():
+    mono_fps, gn_iters_per_s, backend = bench_monocular()
+    rgbd_fps = bench_rgbd()
     print(json.dumps({
         "metric": "full_pipeline_fps_per_chip",
-        "value": round(fps, 2),
+        "value": round(mono_fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / REFERENCE_FPS, 2),
+        "vs_baseline": round(mono_fps / REFERENCE_FPS, 2),
+        "extra": {
+            "rgbd_tracking_fps_512x424": round(rgbd_fps, 2),
+            "gn_iters_per_s": round(gn_iters_per_s, 1),
+            "tracker_backend": backend,
+            "reps": "median of 5",
+        },
     }))
 
 
