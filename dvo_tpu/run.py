@@ -46,6 +46,15 @@ def main(argv=None):
                     help="BA window size in keyframes (<= history capacity)")
     ap.add_argument("--ba-iters", type=int, default=5,
                     help="BA Gauss-Newton iterations per window")
+    ap.add_argument("--plot", default=None,
+                    help="write a trajectory PNG (pose trail; the reference's "
+                         "glfw-drawer window as an offline plot)")
+    ap.add_argument("--gallery", default=None,
+                    help="write the final keyframe-ring gallery PNG "
+                         "(SHOW_KEYFRAME panel; mono mode)")
+    ap.add_argument("--trace", default=None,
+                    help="capture a jax.profiler trace of the whole run "
+                         "into this directory (view with TensorBoard/xprof)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -82,6 +91,15 @@ def main(argv=None):
             ),
         )
 
+    import contextlib
+
+    if args.trace:
+        import jax
+
+        trace_ctx = jax.profiler.trace(args.trace)
+    else:
+        trace_ctx = contextlib.nullcontext()
+
     if args.format == "kinect":
         import os
 
@@ -91,12 +109,13 @@ def main(argv=None):
             if args.calib
             else KinectCalibration.kinect_v2()
         )
-        ts, poses, secs = run_kinect(
-            seq, kcal, cfg=cfg_mono if args.mode == "mono" else None,
-            mode=args.mode, max_frames=args.max_frames,
-            undistort=not args.no_undistort, verbose=args.verbose,
-            metrics=metrics,
-        )
+        with trace_ctx:
+            ts, poses, secs = run_kinect(
+                seq, kcal, cfg=cfg_mono if args.mode == "mono" else None,
+                mode=args.mode, max_frames=args.max_frames,
+                undistort=not args.no_undistort, verbose=args.verbose,
+                metrics=metrics,
+            )
     elif args.format == "tum":
         seq = TUMSequence(args.data)
         calib = Calibration.from_yaml(args.calib) if args.calib else Calibration.tum_freiburg1()
@@ -109,21 +128,30 @@ def main(argv=None):
     if args.format == "kinect":
         pass
     elif args.mode == "mono":
-        ts, poses, secs = run_monocular(
-            seq, calib, cfg_mono, seed=args.seed,
-            max_frames=args.max_frames, undistort=not args.no_undistort,
-            verbose=args.verbose, metrics=metrics,
-            checkpoint_out=args.checkpoint,
-        )
+        with trace_ctx:
+            ts, poses, secs = run_monocular(
+                seq, calib, cfg_mono, seed=args.seed,
+                max_frames=args.max_frames, undistort=not args.no_undistort,
+                verbose=args.verbose, metrics=metrics,
+                checkpoint_out=args.checkpoint, gallery_out=args.gallery,
+            )
     else:
-        ts, poses, secs = run_rgbd(
-            seq, calib, DVOConfig.rgbd(),
-            max_frames=args.max_frames, undistort=not args.no_undistort,
-            verbose=args.verbose, metrics=metrics,
-        )
+        with trace_ctx:
+            ts, poses, secs = run_rgbd(
+                seq, calib, DVOConfig.rgbd(),
+                max_frames=args.max_frames, undistort=not args.no_undistort,
+                verbose=args.verbose, metrics=metrics,
+            )
 
     metrics.close()
     write_tum(args.out, ts, poses)
+    if args.plot:
+        from dvo_tpu.utils.viz import plot_trajectory
+
+        gt_xyz_plot = None
+        if args.gt:
+            _, gt_xyz_plot = read_tum(args.gt)
+        plot_trajectory(poses, args.plot, gt=gt_xyz_plot)
     report = {
         "frames": len(ts),
         "fps": round(float(1.0 / np.median(secs)), 2) if len(secs) else None,

@@ -48,11 +48,13 @@ def run_monocular(
     verbose: bool = False,
     metrics=None,
     checkpoint_out: Optional[str] = None,
+    gallery_out: Optional[str] = None,
 ):
     """Monocular VO over a sequence.  Returns (timestamps, poses (N,4,4),
     per-frame seconds).  ``metrics``: utils.metrics.MetricsLogger for JSONL
     per-frame records; ``checkpoint_out``: path to save the final device
-    state (utils.checkpoint)."""
+    state (utils.checkpoint); ``gallery_out``: PNG path for the final
+    keyframe-ring gallery (the reference's SHOW_KEYFRAME panel)."""
     srcmap = build_undistort_map(calib) if undistort and calib.distortion is not None else None
     K = jnp.asarray(calib.K)
     items = list(sequence)[:max_frames]
@@ -82,6 +84,10 @@ def run_monocular(
         from dvo_tpu.utils.checkpoint import save_state
 
         save_state(checkpoint_out, state)
+    if gallery_out:
+        from dvo_tpu.utils.viz import keyframe_gallery, save_png
+
+        save_png(gallery_out, keyframe_gallery(state.history))
     return np.asarray(times), np.stack(poses), np.asarray(secs)
 
 

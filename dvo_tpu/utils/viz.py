@@ -91,3 +91,81 @@ def save_png(path: str, rgb: np.ndarray) -> None:
 
 def save_panels(path: str, *panels: np.ndarray) -> None:
     save_png(path, merge(panels))
+
+
+def plot_trajectory(
+    poses: np.ndarray,
+    path: str,
+    gt: Optional[np.ndarray] = None,
+    title: str = "trajectory",
+) -> None:
+    """Offline pose-trail plot — the glfw-drawer equivalent of the
+    reference's live trajectory window (main.cpp:49-54 draws the camera
+    centers of ``inversePose(T)`` as a 2-D curve).  Writes a PNG with the
+    top-down (x, z) path and per-axis position curves.
+
+    ``poses``: (N, 4, 4) camera-to-world; ``gt``: optional (M, 3) ground
+    truth positions to overlay."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    poses = np.asarray(poses)
+    xyz = poses[:, :3, 3]
+    fig, (ax0, ax1) = plt.subplots(1, 2, figsize=(11, 4.5))
+    ax0.plot(xyz[:, 0], xyz[:, 2], "-", lw=1.2, color="tab:blue", label="estimate")
+    ax0.plot(xyz[0, 0], xyz[0, 2], "o", color="tab:green", label="start")
+    ax0.plot(xyz[-1, 0], xyz[-1, 2], "s", color="tab:red", label="end")
+    if gt is not None:
+        gt = np.asarray(gt)
+        ax0.plot(gt[:, 0], gt[:, 2], "--", lw=1.0, color="gray", label="ground truth")
+    ax0.set_xlabel("x [m]")
+    ax0.set_ylabel("z [m]")
+    ax0.set_title(f"{title} — top-down")
+    ax0.axis("equal")
+    ax0.legend(fontsize=8)
+    for i, name in enumerate("xyz"):
+        ax1.plot(xyz[:, i], lw=1.0, label=name)
+    ax1.set_xlabel("frame")
+    ax1.set_ylabel("position [m]")
+    ax1.set_title("per-axis position")
+    ax1.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
+def keyframe_gallery(history, max_age: int = 8) -> np.ndarray:
+    """Render the keyframe ring buffer's live slots, newest first — the
+    reference's SHOW_KEYFRAME debug panel (system.hpp:7,34-42) as an offline
+    image.  Each row: gray | depth(sigma) | sigma for one keyframe."""
+    import jax.numpy as jnp  # noqa: F401  (history fields are device arrays)
+
+    count = int(np.asarray(history.count))
+    head = int(np.asarray(history.head))
+    cap = history.capacity
+    rows = []
+    for age in range(count):
+        slot = (head - age) % cap
+        gray = np.asarray(history.gray[slot])
+        mask = np.asarray(history.mask[slot])
+        depth = np.asarray(history.depth[slot])
+        sigma = np.asarray(history.sigma[slot])
+        rows.append(
+            merge([
+                visualize_gray(gray, mask),
+                visualize_depth(depth, sigma),
+                visualize_sigma(sigma),
+            ])
+        )
+    if not rows:
+        return np.zeros((1, 1, 3), np.uint8)
+    wmax = max(r.shape[1] for r in rows)
+    out = []
+    for r in rows:
+        if r.shape[1] < wmax:
+            r = np.pad(r, ((0, 0), (0, wmax - r.shape[1]), (0, 0)))
+        out.append(r)
+        out.append(np.zeros((2, wmax, 3), np.uint8))
+    return np.concatenate(out[:-1], axis=0)

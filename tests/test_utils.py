@@ -137,3 +137,35 @@ def test_viz_shapes(rng):
     a = viz.visualize_age(np.arange(120).reshape(10, 12) % 8)
     merged = viz.merge([img, d, s, a])
     assert merged.shape[0] == 10 and merged.dtype == np.uint8
+
+
+def test_plot_trajectory_and_gallery(tmp_path, rng):
+    """Offline trajectory plot (glfw-drawer equivalent, main.cpp:49-54) and
+    keyframe-ring gallery (SHOW_KEYFRAME, system.hpp:7,34-42)."""
+    import jax.numpy as jnp
+
+    from dvo_tpu.models.frame import build_frame_with_depth
+    from dvo_tpu.models.history import KeyframeHistory, push
+    from dvo_tpu.utils import viz
+
+    n = 12
+    poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    poses[:, 0, 3] = np.linspace(0, 0.5, n)
+    poses[:, 2, 3] = np.linspace(0, -0.2, n)
+    out = tmp_path / "traj.png"
+    viz.plot_trajectory(poses, str(out), gt=poses[:, :3, 3] + 0.01)
+    assert out.exists() and out.stat().st_size > 1000
+
+    h, w = 16, 24
+    K = jnp.asarray([[30.0, 0, 12], [0, 30.0, 8], [0, 0, 1]], jnp.float32)
+    hist = KeyframeHistory.create(4, h, w)
+    for i in range(3):
+        f = build_frame_with_depth(
+            jnp.full((h, w), 0.5, jnp.float32), jnp.ones((h, w), bool),
+            jnp.full((h, w), 1.0 + i, jnp.float32),
+            jnp.full((h, w), 0.2, jnp.float32), K, 1, 0, i,
+        )
+        hist = push(hist, f)
+    img = viz.keyframe_gallery(hist)
+    assert img.ndim == 3 and img.dtype == np.uint8
+    assert img.shape[0] >= 3 * h  # one row per live keyframe
