@@ -21,9 +21,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data", required=True, help="sequence directory")
     ap.add_argument("--mode", choices=["mono", "rgbd"], default="mono")
-    ap.add_argument("--format", choices=["info", "tum", "kinect"], default="info",
+    ap.add_argument("--format", choices=["info", "tum", "kinect", "euroc"], default="info",
                     help="info = reference info.txt (mono); tum = TUM rgb.txt/depth.txt; "
-                         "kinect = info.txt with 'rgb depth' pairs + dual-camera registration")
+                         "kinect = info.txt with 'rgb depth' pairs + dual-camera registration; "
+                         "euroc = EuRoC MAV ASL directory (mono)")
     ap.add_argument("--calib", default=None,
                     help="calibration YAML (default: logicool/TUM presets)")
     ap.add_argument("--out", default="trajectory.txt")
@@ -116,6 +117,13 @@ def main(argv=None):
                 undistort=not args.no_undistort, verbose=args.verbose,
                 metrics=metrics,
             )
+    elif args.format == "euroc":
+        from dvo_tpu.utils.datasets import EuRoCSequence
+
+        seq = EuRoCSequence(args.data)
+        calib = Calibration.from_yaml(args.calib) if args.calib else Calibration.euroc_cam0()
+        if args.mode != "mono":
+            raise SystemExit("EuRoC sequences are monocular; use --mode mono")
     elif args.format == "tum":
         seq = TUMSequence(args.data)
         calib = Calibration.from_yaml(args.calib) if args.calib else Calibration.tum_freiburg1()

@@ -55,6 +55,18 @@ class Calibration:
         return Calibration(K=K, distortion=D, resolution=(640, 480))
 
     @staticmethod
+    def euroc_cam0() -> "Calibration":
+        """EuRoC MAV cam0 published intrinsics (radtan k1 k2 p1 p2; the ASL
+        sensor.yaml values for MH/V sequences)."""
+        K = np.array(
+            [[458.654, 0, 367.215], [0, 457.296, 248.375], [0, 0, 1]], np.float32
+        )
+        D = np.array(
+            [-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05, 0.0], np.float32
+        )
+        return Calibration(K=K, distortion=D, resolution=(752, 480))
+
+    @staticmethod
     def from_yaml(path: str, section: str = "monocular") -> "Calibration":
         """Minimal YAML intrinsics loader (the reference reads a calibration
         YAML through its absent submodule, loader.cpp:50-51).  Expects
@@ -215,6 +227,55 @@ class InfoSequence:
                 gray = os.path.join(base, parts[0])
                 depth = os.path.join(base, parts[1]) if len(parts) > 1 else None
                 self.items.append(SequenceItem(float(i), gray, depth))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __iter__(self) -> Iterator[SequenceItem]:
+        return iter(self.items)
+
+
+class EuRoCSequence:
+    """EuRoC MAV ASL-format sequence (BASELINE config 5): grayscale camera
+    frames listed in ``mav0/<cam>/data.csv`` (``timestamp_ns,filename``)
+    with images under ``mav0/<cam>/data/``.  Monocular (no depth).
+
+    ``read_groundtruth`` parses ``mav0/state_groundtruth_estimate0/data.csv``
+    (timestamp_ns, p_xyz, q_wxyz, ...) into (timestamps_s, positions) for
+    ATE evaluation."""
+
+    def __init__(self, root: str, cam: str = "cam0"):
+        base = os.path.join(root, "mav0", cam)
+        csv = os.path.join(base, "data.csv")
+        self.items: List[SequenceItem] = []
+        with open(csv) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split(",")
+                if len(parts) < 2:
+                    continue
+                t = float(parts[0]) * 1e-9  # ns -> s
+                self.items.append(
+                    SequenceItem(t, os.path.join(base, "data", parts[1].strip()))
+                )
+
+    @staticmethod
+    def read_groundtruth(root: str) -> Tuple[np.ndarray, np.ndarray]:
+        path = os.path.join(root, "mav0", "state_groundtruth_estimate0", "data.csv")
+        ts, xyz = [], []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split(",")
+                if len(parts) < 4:
+                    continue
+                ts.append(float(parts[0]) * 1e-9)
+                xyz.append([float(parts[1]), float(parts[2]), float(parts[3])])
+        return np.asarray(ts), np.asarray(xyz, np.float32)
 
     def __len__(self):
         return len(self.items)
