@@ -188,6 +188,18 @@ def main():
     except ImportError:
         pass
 
+    # ---- regularizer (companion depth-filter kernel) ----
+    from dvo_tpu.models.mapper import regularize
+    from dvo_tpu.ops.pallas.regularize import regularize_pallas
+
+    reg_x = jax.jit(lambda d, s: regularize(d, s, m_cfg))
+    t_rx = _timeit(lambda: reg_x(frame.base.depth, frame.base.sigma), args.reps)
+    report("regularize_xla_120x160", t_rx, backend=backend)
+    if not interpret:
+        reg_p = jax.jit(lambda d, s: regularize_pallas(d, s, m_cfg))
+        t_rp = _timeit(lambda: reg_p(frame.base.depth, frame.base.sigma), args.reps)
+        report("regularize_pallas_120x160", t_rp, backend=backend)
+
     # ---- full monocular step + GN iters/s ----
     img640, _, K640 = synthetic_scene(480, 640, seed=1)
     cfg = DVOConfig.monocular()

@@ -119,6 +119,13 @@ class MapperConfig:
     # bound, frame.hpp:146-188; a fixed ring keeps shapes static for jit).
     history_capacity: int = 8
     depth_filter: DepthFilterConfig = dataclasses.field(default_factory=DepthFilterConfig)
+    # Mapping backend: "xla" (gather-based march, exact reference sampling
+    # semantics, fuses into the surrounding step program) or "pallas"
+    # (ops/pallas/{epipolar,regularize}.py — fused VMEM kernels for the
+    # epipolar march + depth-filter update and the 4-neighbour regularizer).
+    # Standalone the kernels tie/win slightly; in-pipeline XLA's cross-op
+    # fusion keeps it default (bench_kernels.py).
+    backend: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

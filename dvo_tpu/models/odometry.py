@@ -174,17 +174,35 @@ def monocular_step(state: VOState, gray, mask, K, cfg: DVOConfig = DVOConfig.mon
 
     def update(_):
         base = state.ref.base
-        d, s, age, stats = depth_update(
-            frame.base, frame.xi, frame.relative_xi,
-            base.depth, base.sigma, state.ref.age,
-            state.history, k_reset, cfg.mapper,
-        )
+        if cfg.mapper.backend == "pallas":
+            from dvo_tpu.models.mapper import depth_update_pallas
+
+            d, s, age, stats = depth_update_pallas(
+                frame.base, frame.xi, frame.relative_xi,
+                base.depth, base.sigma, state.ref.age,
+                state.history, k_reset, cfg.mapper,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            d, s, age, stats = depth_update(
+                frame.base, frame.xi, frame.relative_xi,
+                base.depth, base.sigma, state.ref.age,
+                state.history, k_reset, cfg.mapper,
+            )
         return state.history, with_depth(state.ref, d, s, age), stats, no_ba_cost
 
     history, ref, stats, ba_cost = lax.cond(need_kf, promote, update, None)
 
     # --- regularize the reference keyframe (mapper.cpp:30,139-144) ---
-    reg = regularize(ref.base.depth, ref.base.sigma, cfg.mapper)
+    if cfg.mapper.backend == "pallas":
+        from dvo_tpu.ops.pallas.regularize import regularize_pallas
+
+        reg = regularize_pallas(
+            ref.base.depth, ref.base.sigma, cfg.mapper,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        reg = regularize(ref.base.depth, ref.base.sigma, cfg.mapper)
     ref = with_depth(ref, reg)
 
     new_state = VOState(

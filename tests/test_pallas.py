@@ -115,3 +115,57 @@ def test_pallas_backend_track(rng):
     xi_p = np.asarray(track(obj, ref, TrackerConfig(min_residual=0.0, backend="pallas")).xi)
     np.testing.assert_allclose(xi_p, xi_true, atol=1e-3)
     np.testing.assert_allclose(xi_p, xi_x, atol=5e-4)
+
+
+def test_pallas_regularize_matches_xla(rng):
+    """regularize_pallas vs models.mapper.regularize: identical depth maps
+    (same sequential 4-neighbour gated fusion + clamp)."""
+    from dvo_tpu.config import MapperConfig
+    from dvo_tpu.models.mapper import regularize
+    from dvo_tpu.ops.pallas.regularize import regularize_pallas
+
+    h, w = 24, 32
+    depth = (1.0 + 4.0 * rng.random((h, w))).astype(np.float32)
+    depth[3, 5] = 7.5  # above the 6 m clamp
+    sigma = (0.05 + 0.5 * rng.random((h, w))).astype(np.float32)
+    cfg = MapperConfig()
+    d1 = np.asarray(regularize(jnp.asarray(depth), jnp.asarray(sigma), cfg))
+    d2 = np.asarray(
+        regularize_pallas(jnp.asarray(depth), jnp.asarray(sigma), cfg, interpret=True)
+    )
+    np.testing.assert_allclose(d2, d1, rtol=1e-6, atol=1e-6)
+    assert d2.max() <= 6.0
+
+
+def test_mapper_backend_pallas_step(rng):
+    """Full monocular_step with MapperConfig.backend='pallas' (interpret):
+    the fused epipolar + regularizer kernels run inside the jitted step and
+    produce a finite, keyframe-consistent state."""
+    from dvo_tpu.config import DVOConfig, MapperConfig, PyramidConfig
+    from dvo_tpu.models.odometry import monocular_init_with_depth, monocular_step
+
+    from test_odometry import render_sequence
+
+    h, w = 48, 64
+    step = np.array([0.012, 0, 0, 0, 0, 0], np.float32)
+    frames, depth0, K = render_sequence(rng, 4, h, w, step)
+    cfg = DVOConfig(
+        pyramid=PyramidConfig(levels=2, culls=0),
+        mapper=MapperConfig(
+            crop_x=(6, w - 8), crop_y=(5, h - 6), max_steps=16, backend="pallas"
+        ),
+    )
+    sigma = np.full((h, w), 0.4, np.float32)
+    state = monocular_init_with_depth(
+        jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]),
+        jnp.asarray(depth0), jnp.asarray(sigma), jnp.asarray(K),
+        jax.random.PRNGKey(0), cfg,
+    )
+    for k in range(1, 4):
+        state, res = monocular_step(
+            state, jnp.asarray(frames[k][0]), jnp.asarray(frames[k][1]),
+            jnp.asarray(K), cfg,
+        )
+        assert np.isfinite(np.asarray(res.T_world)).all()
+    assert np.isfinite(np.asarray(state.ref.base.depth)).all()
+    assert int(state.frame_count) == 4
