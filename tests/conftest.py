@@ -19,6 +19,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: the suite's cost is dominated by XLA:CPU
+# compiles of full-pipeline programs at many distinct shapes.  Caching them
+# on disk makes repeat runs (the common case while iterating) several times
+# faster; the directory is gitignored.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -47,7 +47,15 @@ def _cfg():
     )
 
 
+_RUN_CACHE = {}
+
+
 def _run(name, max_frames=None):
+    # The three gates below share full-sequence runs; cache per (name,
+    # max_frames) so each sequence is tracked once per session.
+    key = (name, max_frames)
+    if key in _RUN_CACHE:
+        return _RUN_CACHE[key]
     from dvo_tpu.utils.datasets import InfoSequence, KinectCalibration
     from dvo_tpu.utils.runner import run_kinect
 
@@ -62,13 +70,17 @@ def _run(name, max_frames=None):
         steps_t.append(np.linalg.norm(rel[:3, 3]) * 1000.0)  # mm
         cosang = np.clip((np.trace(rel[:3, :3]) - 1) / 2, -1, 1)
         steps_r.append(np.degrees(np.arccos(cosang)))
-    return poses, np.asarray(steps_t), np.asarray(steps_r)
+    out = (poses, np.asarray(steps_t), np.asarray(steps_r))
+    _RUN_CACHE[key] = out
+    return out
 
 
 def test_kinect_1deg_known_rotation():
     """Nominal 1 deg/frame rotation rig: recovered per-frame rotation must
     match within 15%% at the median, with near-zero translation."""
-    poses, steps_t, steps_r = _run("KINECT_1DEG")
+    # 40 of the 65 frames: the per-frame medians stabilise well before the
+    # full sequence and the suite stays fast (VERDICT round-1 item 9).
+    poses, steps_t, steps_r = _run("KINECT_1DEG", max_frames=40)
     assert np.all(np.isfinite(poses))
     med_r = float(np.median(steps_r))
     med_t = float(np.median(steps_t))
