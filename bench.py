@@ -29,6 +29,8 @@ import time
 
 import numpy as np
 
+from dvo_tpu.utils.metrics import device_sync
+
 REFERENCE_FPS = 5.0  # 200 ms/frame tracking budget, tracker.cpp:18
 
 DATA = "/root/reference/data/logicool0"
@@ -84,13 +86,13 @@ def bench_monocular(reps=5, chunk=24):
     state = monocular_init(jnp.asarray(frames[0]), mask, Kd, jax.random.PRNGKey(0), cfg)
     # Warmup compiles the scanned step (both mapper branches are cond arms).
     state, res = monocular_run(state, jnp.asarray(chunks[0]), masks, Kd, cfg)
-    jax.block_until_ready(res.T_world)
+    device_sync(res.T_world)
 
     fps = []
     for _ in range(reps):
         t0 = time.perf_counter()
         _, res = monocular_run(state, jnp.asarray(chunks[1]), masks, Kd, cfg)
-        jax.block_until_ready(res.T_world)
+        device_sync(res.T_world)
         fps.append(chunk / (time.perf_counter() - t0))
     med = float(np.median(fps))
     # The program evaluates every GN iteration (convergence is masked).
@@ -122,12 +124,12 @@ def bench_rgbd(reps=5, chunk=16):
     sigmas = jnp.broadcast_to(jnp.asarray(sigma), (chunk, h, w))
 
     _, res = rgbd_run(state, jnp.asarray(grays), masks, depths, sigmas, K, cfg)
-    jax.block_until_ready(res.T_world)
+    device_sync(res.T_world)
     fps = []
     for _ in range(reps):
         t0 = time.perf_counter()
         _, res = rgbd_run(state, jnp.asarray(grays), masks, depths, sigmas, K, cfg)
-        jax.block_until_ready(res.T_world)
+        device_sync(res.T_world)
         fps.append(chunk / (time.perf_counter() - t0))
     return float(np.median(fps))
 

@@ -24,6 +24,8 @@ import time
 
 import numpy as np
 
+from dvo_tpu.utils.metrics import device_sync
+
 
 def _timeit(fn, reps):
     import jax
@@ -33,7 +35,7 @@ def _timeit(fn, reps):
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn()
-    jax.block_until_ready(out)
+    device_sync(out)
     return (time.perf_counter() - t0) / reps
 
 

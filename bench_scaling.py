@@ -24,16 +24,18 @@ if "--cpu" in os.sys.argv or os.environ.get("JAX_PLATFORMS") in (None, "", "axon
 
 import numpy as np
 
+from dvo_tpu.utils.metrics import device_sync
+
 
 def _timeit(fn, *args, reps=5):
     import jax
 
     out = fn(*args)
-    jax.block_until_ready(out)
+    device_sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    device_sync(out)
     return (time.perf_counter() - t0) / reps
 
 

@@ -56,6 +56,13 @@ def main(argv=None):
     ap.add_argument("--trace", default=None,
                     help="capture a jax.profiler trace of the whole run "
                          "into this directory (view with TensorBoard/xprof)")
+    ap.add_argument("--stream", action="store_true",
+                    help="live mode (reference USE_CAMERA, main.cpp:10,26-30): "
+                         "watch --data for new PNGs and odometrize them as "
+                         "they appear; the TUM file is appended live")
+    ap.add_argument("--stream-idle", type=float, default=5.0,
+                    help="stop streaming after this many seconds without a "
+                         "new frame")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -100,6 +107,29 @@ def main(argv=None):
         trace_ctx = jax.profiler.trace(args.trace)
     else:
         trace_ctx = contextlib.nullcontext()
+
+    if args.stream:
+        if args.mode != "mono" or args.format != "info":
+            raise SystemExit("--stream supports --mode mono --format info")
+        from dvo_tpu.utils.stream import run_stream, watch_directory
+
+        calib = Calibration.from_yaml(args.calib) if args.calib else Calibration.logicool()
+        with trace_ctx:
+            ts, poses, secs = run_stream(
+                watch_directory(args.data, idle_timeout_s=args.stream_idle),
+                calib, cfg_mono, seed=args.seed,
+                undistort=not args.no_undistort,
+                trajectory_out=args.out, verbose=args.verbose,
+            )
+        metrics.close()
+        report = {
+            "frames": len(ts),
+            "fps": round(float(1.0 / np.median(secs)), 2) if len(secs) else None,
+            "trajectory": args.out,
+            "streamed": True,
+        }
+        print(json.dumps(report))
+        return 0
 
     if args.format == "kinect":
         import os

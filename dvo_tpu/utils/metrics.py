@@ -18,10 +18,28 @@ from typing import IO, Optional
 import numpy as np
 
 
+def device_sync(x) -> None:
+    """Provably wait for ``x`` (array or pytree) to be computed.
+
+    ``jax.block_until_ready`` has been observed returning before remote
+    execution completes on tunneled/experimental PJRT backends (axon), so
+    timing harnesses must force a device->host fetch.  Fetching one element
+    of one leaf is enough to serialize on the whole program that produced
+    it; the 1-element slice keeps the transfer negligible.
+    """
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(x)
+    if not leaves:
+        return
+    leaf = leaves[0]
+    np.asarray(leaf.ravel()[:1] if hasattr(leaf, "ravel") else leaf)
+
+
 class Timer:
     """Wall-clock context timer (reference core/timer.hpp as a context
     manager).  ``ms`` is valid after exit; pass ``sync`` (e.g. a device
-    array) to block on device completion before stopping the clock."""
+    array) to wait for device completion before stopping the clock."""
 
     def __init__(self, sync=None):
         self._sync = sync
@@ -33,9 +51,7 @@ class Timer:
 
     def __exit__(self, *exc):
         if self._sync is not None:
-            import jax
-
-            jax.block_until_ready(self._sync)
+            device_sync(self._sync)
         self.ms = (time.perf_counter() - self._t0) * 1e3
         return False
 

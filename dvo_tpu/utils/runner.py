@@ -12,6 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dvo_tpu.config import DVOConfig
+from dvo_tpu.utils.metrics import device_sync
 from dvo_tpu.models.odometry import (
     monocular_init,
     monocular_init_with_depth,
@@ -69,7 +70,7 @@ def run_monocular(
         gray, mask = _prep_gray(item, calib, srcmap)
         t0 = time.perf_counter()
         state, res = monocular_step(state, jnp.asarray(gray), jnp.asarray(mask), K, cfg)
-        jax.block_until_ready(res.T_world)
+        device_sync(res.T_world)
         secs.append(time.perf_counter() - t0)
         poses.append(np.asarray(res.T_world))
         times.append(item.timestamp)
@@ -131,7 +132,7 @@ def run_rgbd(
             state, jnp.asarray(gray), jnp.asarray(mask),
             jnp.asarray(depth), jnp.asarray(sigma), K, cfg,
         )
-        jax.block_until_ready(res.T_world)
+        device_sync(res.T_world)
         secs.append(time.perf_counter() - t0)
         poses.append(np.asarray(res.T_world))
         times.append(item.timestamp)
@@ -217,7 +218,7 @@ def run_kinect(
             mapped, mask, depth, sigma = prep(item)
             t0 = time.perf_counter()
             state, res = rgbd_step(state, mapped, mask, depth, sigma, depth_K, cfg)
-            jax.block_until_ready(res.T_world)
+            device_sync(res.T_world)
             secs.append(time.perf_counter() - t0)
             poses.append(np.asarray(res.T_world))
             times.append(item.timestamp)
@@ -233,7 +234,7 @@ def run_kinect(
             mapped, mask, _, _ = prep(item)
             t0 = time.perf_counter()
             state, res = monocular_step(state, mapped, mask, depth_K, cfg)
-            jax.block_until_ready(res.T_world)
+            device_sync(res.T_world)
             secs.append(time.perf_counter() - t0)
             poses.append(np.asarray(res.T_world))
             times.append(item.timestamp)

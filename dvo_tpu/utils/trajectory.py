@@ -44,14 +44,21 @@ def rotation_to_quaternion(R: np.ndarray) -> np.ndarray:
     return np.asarray([x, y, z, w])
 
 
+def tum_line(t: float, T: np.ndarray) -> str:
+    """One TUM-format line: ``t tx ty tz qx qy qz qw`` for a (4, 4)
+    camera-to-world transform."""
+    T = np.asarray(T)
+    q = rotation_to_quaternion(T[:3, :3])
+    tx, ty, tz = T[:3, 3]
+    return (f"{t:.6f} {tx:.6f} {ty:.6f} {tz:.6f} "
+            f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}")
+
+
 def write_tum(path: str, timestamps: Sequence[float], poses: Sequence[np.ndarray]):
     """poses: (4, 4) camera-to-world transforms."""
     with open(path, "w") as f:
         for t, T in zip(timestamps, poses):
-            q = rotation_to_quaternion(np.asarray(T)[:3, :3])
-            tx, ty, tz = np.asarray(T)[:3, 3]
-            f.write(f"{t:.6f} {tx:.6f} {ty:.6f} {tz:.6f} "
-                    f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n")
+            f.write(tum_line(t, T) + "\n")
 
 
 def read_tum(path: str) -> Tuple[np.ndarray, np.ndarray]:
