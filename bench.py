@@ -97,7 +97,9 @@ def bench_monocular(reps=5, chunk=24):
     med = float(np.median(fps))
     # The program evaluates every GN iteration (convergence is masked).
     gn_iters = cfg.tracker.max_iterations * cfg.pyramid.levels
-    return med, med * gn_iters, cfg.tracker.backend
+    from dvo_tpu.config import resolve_backend
+
+    return med, med * gn_iters, resolve_backend(cfg.tracker.backend)
 
 
 def bench_rgbd(reps=5, chunk=16):

@@ -61,14 +61,14 @@ class TrackerConfig:
     # Levenberg damping added to J^T J diagonal (0 = faithful Gauss-Newton;
     # the reference's DECOMP_SVD pseudo-inverse is emulated by a tiny ridge).
     damping: float = 1e-6
-    # GN linearization backend: "xla" (gather-based, exact reference
-    # sampling semantics) or "pallas" (fused VMEM kernel, MXU one-hot
-    # sampling with clamp-to-edge borders — see ops/pallas/gn.py).
-    # Default chosen by measurement (bench_kernels.py on a v5e chip): at the
-    # reference operating points (160x120 / 256x212) the two backends tie
-    # within run-to-run noise (~0.05-0.08 ms per full track), so the one
-    # with exact reference sampling semantics stays default.
-    backend: str = "xla"
+    # GN linearization backend: "auto" (pallas on TPU, xla elsewhere),
+    # "xla" (gather-based, exact reference sampling semantics) or "pallas"
+    # (fused VMEM kernel, MXU one-hot sampling with clamp-to-edge borders —
+    # see ops/pallas/gn.py).  Measured on a v5e chip with fetch-synced
+    # timing (bench_probe.py): the fused kernel is ~3x faster at 160x120
+    # and ~5.6x at 256x212 — XLA's gather HLO runs off the vector path and
+    # dominates the gather-based twin.
+    backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -119,13 +119,20 @@ class MapperConfig:
     # bound, frame.hpp:146-188; a fixed ring keeps shapes static for jit).
     history_capacity: int = 8
     depth_filter: DepthFilterConfig = dataclasses.field(default_factory=DepthFilterConfig)
-    # Mapping backend: "xla" (gather-based march, exact reference sampling
-    # semantics, fuses into the surrounding step program) or "pallas"
+    # Mapping backend: "auto" (pallas on TPU, xla elsewhere), "xla"
+    # (gather-based march, exact reference sampling semantics) or "pallas"
     # (ops/pallas/{epipolar,regularize}.py — fused VMEM kernels for the
     # epipolar march + depth-filter update and the 4-neighbour regularizer).
-    # Standalone the kernels tie/win slightly; in-pipeline XLA's cross-op
-    # fusion keeps it default (bench_kernels.py).
-    backend: str = "xla"
+    # Measured with fetch-synced timing on a v5e (bench_probe.py) the fused
+    # kernel beats the gather-based march in and out of pipeline.
+    backend: str = "auto"
+    # Matmul precision inside the Pallas march kernel: "bf16" runs the
+    # one-hot sampling contractions as single-pass bf16 MXU ops (f32
+    # accumulate) — sampled intensities carry <= 2^-9 relative quantization,
+    # far below the SSD accept threshold (0.1/window, implement.cpp:20) —
+    # while "f32" keeps HIGHEST-precision parity with the XLA twin (6 MXU
+    # passes per matmul, ~6x slower; used by the parity tests).
+    pallas_precision: str = "bf16"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -181,6 +188,18 @@ class DVOConfig:
     def rgbd() -> "DVOConfig":
         """RGB-D tracking mode: 4 levels, 2x decimation (system.hpp:30,82)."""
         return DVOConfig(pyramid=PyramidConfig(levels=4, culls=1))
+
+
+def resolve_backend(backend: str) -> str:
+    """Resolve an "auto" kernel-backend choice at trace time: the fused
+    Pallas kernels on TPU (bench_probe.py: 3-6x over the gather-based XLA
+    twins), the exact-reference-semantics XLA twins everywhere else (CPU /
+    interpret-mode Pallas is much slower and only used for parity tests)."""
+    if backend != "auto":
+        return backend
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 # Invalid-pixel sentinel used at the *host/IO boundary* only (undistortion

@@ -480,6 +480,10 @@ def depth_update_pallas(
         ],
         axis=0,
     )
+    if cfg.pallas_precision == "bf16":
+        # Single-pass MXU contractions inside the kernel; <= 2^-9 relative
+        # quantization on sampled intensities/gradients (config.py note).
+        born_stack = born_stack.astype(jnp.bfloat16)
 
     depth_out, sigma_out, age_f, kstats = epipolar_update_pallas(
         fields, born_stack, capacity=c, cfg=cfg, interpret=interpret

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from dvo_tpu import lie
-from dvo_tpu.config import DVOConfig
+from dvo_tpu.config import DVOConfig, resolve_backend
 from dvo_tpu.models.frame import (
     Frame,
     build_frame,
@@ -174,7 +174,7 @@ def monocular_step(state: VOState, gray, mask, K, cfg: DVOConfig = DVOConfig.mon
 
     def update(_):
         base = state.ref.base
-        if cfg.mapper.backend == "pallas":
+        if resolve_backend(cfg.mapper.backend) == "pallas":
             from dvo_tpu.models.mapper import depth_update_pallas
 
             d, s, age, stats = depth_update_pallas(
@@ -194,7 +194,7 @@ def monocular_step(state: VOState, gray, mask, K, cfg: DVOConfig = DVOConfig.mon
     history, ref, stats, ba_cost = lax.cond(need_kf, promote, update, None)
 
     # --- regularize the reference keyframe (mapper.cpp:30,139-144) ---
-    if cfg.mapper.backend == "pallas":
+    if resolve_backend(cfg.mapper.backend) == "pallas":
         from dvo_tpu.ops.pallas.regularize import regularize_pallas
 
         reg = regularize_pallas(

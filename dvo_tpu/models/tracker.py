@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from dvo_tpu import lie
-from dvo_tpu.config import TrackerConfig
+from dvo_tpu.config import TrackerConfig, resolve_backend
 from dvo_tpu.models.frame import Frame, Scene
 from dvo_tpu.ops.sampling import bilinear_dense, bilinear_masked
 from dvo_tpu.ops.warp import back_project, pixel_grid, warp_points
@@ -178,7 +178,7 @@ def track_level(
 
     def body(carry, _):
         xi, done = carry
-        if cfg.backend == "pallas":
+        if resolve_backend(cfg.backend) == "pallas":
             from dvo_tpu.ops.pallas.gn import gn_terms_pallas
 
             Hmat, g, rsum, count = gn_terms_pallas(

@@ -71,6 +71,13 @@ def _epipolar_kernel(
     bh, w = _BLOCK_H, full_w
     ch = capacity * full_h
     big = jnp.float32(2.0 * cfg.ssd_window)
+    # Matmul mode follows the born stack's dtype (set by the wrapper from
+    # cfg.pallas_precision): bf16 = one MXU pass per contraction, f32 =
+    # HIGHEST (6 passes) for exact parity with the XLA twin.
+    mm_dtype = born_ref.dtype
+    mm_precision = (
+        lax.Precision.DEFAULT if mm_dtype == jnp.bfloat16 else lax.Precision.HIGHEST
+    )
 
     ww_sub = lax.broadcasted_iota(jnp.int32, (full_w, w), 0)   # img-x / sublane
     hh_sub = lax.broadcasted_iota(jnp.int32, (ch, w), 0)
@@ -113,8 +120,8 @@ def _epipolar_kernel(
                 ww_sub == x1c, fx, 0.0
             )                                                   # (Wimg, W)
             xs = lax.dot_general(
-                born_ref[0:ch, :], wx, (((1,), (0,)), ((), ())),
-                precision=lax.Precision.HIGHEST,
+                born_ref[0:ch, :], wx.astype(mm_dtype), (((1,), (0,)), ((), ())),
+                precision=mm_precision,
                 preferred_element_type=jnp.float32,
             )                                                   # (CH, W)
             wy = (
@@ -164,8 +171,8 @@ def _epipolar_kernel(
         byc = jnp.clip(byi, 0, full_h - 1)
         wxg = jnp.where(ww_sub == bxc, 1.0, 0.0)               # (Wimg, W)
         xg = lax.dot_general(
-            born_ref[ch : 4 * ch, :], wxg, (((1,), (0,)), ((), ())),
-            precision=lax.Precision.HIGHEST,
+            born_ref[ch : 4 * ch, :], wxg.astype(mm_dtype), (((1,), (0,)), ((), ())),
+            precision=mm_precision,
             preferred_element_type=jnp.float32,
         )                                                       # (3CH, W)
         wyg = jnp.where(y_sub == byc, 1.0, 0.0) * slot_mask

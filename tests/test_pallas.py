@@ -1,6 +1,8 @@
 """Pallas GN kernel parity tests (interpret mode on the CPU mesh; the real
 TPU run is exercised by the verify drive and bench)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -70,6 +72,7 @@ def test_pallas_epipolar_matches_xla(rng):
     cfg = MapperConfig(
         crop_x=(6, w - 8), crop_y=(5, h - 6), max_steps=40,
         luminance_sigma=0.25, epipolar_sigma=0.25,
+        pallas_precision="f32",  # exact-parity mode; bf16 tested separately
     )
     age = jnp.zeros((h, w), jnp.int32)
     key = _jax.random.PRNGKey(5)
@@ -88,6 +91,18 @@ def test_pallas_epipolar_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(a2), np.asarray(a1))
+
+    # bf16 fast mode (the TPU default): same gate decisions for ~all pixels,
+    # fused depths close wherever both observe.
+    cfg16 = dataclasses.replace(cfg, pallas_precision="bf16")
+    d3, s3, a3, st3 = depth_update_pallas(*args[:-1], cfg16, interpret=True)
+    n_obs = int(st1.observed)
+    assert abs(int(st3.observed) - n_obs) <= max(3, n_obs // 20), (int(st3.observed), n_obs)
+    both = (np.asarray(d2) != np.asarray(noisy)) & (np.asarray(d3) != np.asarray(noisy))
+    # Depth errors from bf16-quantized intensities stay small where the
+    # subpixel match landed on the same step.
+    close = np.isclose(np.asarray(d3)[both], np.asarray(d2)[both], rtol=0.08, atol=0.02)
+    assert close.mean() > 0.9, close.mean()
 
 
 def test_pallas_backend_track(rng):
