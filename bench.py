@@ -18,9 +18,15 @@ reliably ~30% slow — host page faults on the chunk buffer).  Real frames
 from the reference's logicool0 dataset when available, synthetic otherwise.
 
 ``extra`` reports the second operating point (RGB-D tracking at the
-reference's 512x424 Kinect input, system.hpp:30,82), GN iterations/s, and
-which tracker backend was measured (TrackerConfig.backend — "xla", chosen
-over the Pallas kernel by measurement; see bench_kernels.py).
+reference's 512x424 Kinect input, system.hpp:30,82), GN iterations/s, the
+8-stream batched throughput mode (monocular_run_batched), and which tracker
+backend was measured (the resolved TrackerConfig.backend — "pallas" on TPU,
+chosen by fetch-synced measurement; see bench_probe.py).
+
+Timing honesty: every timed region ends with utils.metrics.device_sync — a
+one-element device->host fetch — because ``jax.block_until_ready`` has been
+observed returning before remote execution completes on tunneled PJRT
+backends, which silently turns a throughput bench into a dispatch bench.
 """
 
 import json
@@ -49,6 +55,9 @@ def _synth(h, w, n, seed=0):
 
 
 def _load_frames(n):
+    """Frames as uint8 [0, 255]: the pipeline normalizes on device
+    (models/frame._normalize_gray), so the bench ships 4x fewer bytes per
+    chunk — exactly what a production feeder would do."""
     if os.path.isdir(DATA):
         try:
             from PIL import Image
@@ -56,14 +65,14 @@ def _load_frames(n):
             frames = []
             for i in range(n):
                 p = os.path.join(DATA, f"{i:04d}.png")
-                frames.append(np.asarray(Image.open(p).convert("L"), np.float32) / 255.0)
+                frames.append(np.asarray(Image.open(p).convert("L"), np.uint8))
             return frames, np.array(
                 [[780.0, 0, 378], [0, 796.0, 220], [0, 0, 1]], np.float32
             )
         except Exception:
             pass
     h, w = 480, 640
-    return _synth(h, w, n), np.array(
+    return [np.clip(f * 255.0, 0, 255).astype(np.uint8) for f in _synth(h, w, n)], np.array(
         [[600.0, 0, w / 2], [0, 600.0, h / 2], [0, 0, 1]], np.float32
     )
 
@@ -100,6 +109,42 @@ def bench_monocular(reps=5, chunk=24):
     from dvo_tpu.config import resolve_backend
 
     return med, med * gn_iters, resolve_backend(cfg.tracker.backend)
+
+
+def bench_batched(reps=3, chunk=24, streams=8):
+    """Multi-stream throughput mode: B independent monocular pipelines
+    vmapped into one device program (models/odometry.monocular_run_batched).
+    The per-stream arrays are too small to fill the MXU; batching is the
+    TPU-native way to serve many cameras per chip.  Returns aggregate
+    frames/s across all streams."""
+    import jax
+    import jax.numpy as jnp
+
+    from dvo_tpu.config import DVOConfig
+    from dvo_tpu.models.odometry import monocular_init_batched, monocular_run_batched
+
+    cfg = DVOConfig.monocular()
+    frames, K = _load_frames(chunk + 1)
+    h, w = frames[0].shape
+    # Streams differ by a deterministic circular shift so no two pipelines
+    # see identical inputs (keyframe cadences diverge).
+    base = np.stack(frames)                                  # (N+1, H, W)
+    grays = np.stack([np.roll(base, 3 * s, axis=2) for s in range(streams)])
+    Kd = jnp.asarray(K)
+    masks = jnp.ones((streams, chunk, h, w), bool)
+
+    states = monocular_init_batched(
+        jnp.asarray(grays[:, 0]), masks[:, 0], Kd, jax.random.PRNGKey(0), cfg
+    )
+    _, res = monocular_run_batched(states, jnp.asarray(grays[:, 1:]), masks, Kd, cfg)
+    device_sync(res.T_world)
+    fps = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _, res = monocular_run_batched(states, jnp.asarray(grays[:, 1:]), masks, Kd, cfg)
+        device_sync(res.T_world)
+        fps.append(streams * chunk / (time.perf_counter() - t0))
+    return float(np.median(fps)), streams
 
 
 def bench_rgbd(reps=5, chunk=16):
@@ -139,6 +184,7 @@ def bench_rgbd(reps=5, chunk=16):
 def main():
     mono_fps, gn_iters_per_s, backend = bench_monocular()
     rgbd_fps = bench_rgbd()
+    batched_fps, streams = bench_batched()
     print(json.dumps({
         "metric": "full_pipeline_fps_per_chip",
         "value": round(mono_fps, 2),
@@ -147,8 +193,10 @@ def main():
         "extra": {
             "rgbd_tracking_fps_512x424": round(rgbd_fps, 2),
             "gn_iters_per_s": round(gn_iters_per_s, 1),
+            f"batched_{streams}stream_agg_fps": round(batched_fps, 2),
             "tracker_backend": backend,
-            "reps": "median of 5",
+            "reps": "median of 5 (batched: 3)",
+            "sync": "device->host fetch (block_until_ready unreliable on tunneled backends)",
         },
     }))
 

@@ -93,6 +93,14 @@ def _pyramid(gray, mask, depth, sigma, K, levels: int) -> Tuple[Scene, ...]:
     return tuple(scenes)
 
 
+def _normalize_gray(gray: jax.Array) -> jax.Array:
+    """uint8 [0, 255] -> f32 [0, 1] on device; float inputs pass through
+    (already normalized by the host loader, reference loader.cpp:61)."""
+    if gray.dtype == jnp.uint8:
+        return gray.astype(jnp.float32) * (1.0 / 255.0)
+    return gray
+
+
 def build_frame(
     gray: jax.Array,
     mask: jax.Array,
@@ -104,7 +112,13 @@ def build_frame(
     init: InitConfig = InitConfig(),
 ) -> Frame:
     """Monocular frame: depth bootstrapped from clamped Gaussian noise
-    ~ N(1.5, 0.5) floored at 0.5, sigma = 0.5 (reference frame.hpp:12-22)."""
+    ~ N(1.5, 0.5) floored at 0.5, sigma = 0.5 (reference frame.hpp:12-22).
+
+    ``gray`` may be uint8 (raw 8-bit camera/PNG values): normalization to
+    [0, 1] then happens on device — the reference normalizes on host
+    (loader.cpp:61), but shipping uint8 cuts host->device traffic 4x, and
+    HBM/tunnel bandwidth is the pipeline's scarcest resource."""
+    gray = _normalize_gray(gray)
     gray = cull_image(gray, culls)
     mask = cull_image(mask, culls)
     K = cull_intrinsic(K, culls)
@@ -131,7 +145,9 @@ def build_frame_with_depth(
     culls: int,
     frame_id,
 ) -> Frame:
-    """RGB-D frame with measured depth/sigma (reference frame.hpp:91-106)."""
+    """RGB-D frame with measured depth/sigma (reference frame.hpp:91-106).
+    ``gray`` may be uint8 — see ``build_frame``."""
+    gray = _normalize_gray(gray)
     gray = cull_image(gray, culls)
     mask = cull_image(mask, culls)
     depth = cull_image(depth, culls)

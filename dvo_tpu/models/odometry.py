@@ -293,3 +293,43 @@ def rgbd_run(state: RGBDState, grays, masks, depths, sigmas, K,
         return st, res
 
     return lax.scan(step, state, (grays, masks, depths, sigmas))
+
+
+# ------------------------------------------------------------------- batched
+#
+# Multi-stream throughput mode — no reference counterpart.  The reference is
+# a single-camera demo; on TPU the per-frame arrays (160x120 tracking
+# pyramids) are far too small to fill the MXU, so the native way to serve
+# many cameras (or replay many sequences) on one chip is to vmap the whole
+# per-frame step over a leading stream axis: every contraction in the
+# tracker/mapper batches, and throughput scales with B until the arithmetic
+# units saturate.  Streams are independent (separate keyframe rings, PRNG
+# streams, histories); a shared K keeps the warp geometry common (the
+# multi-camera-rig case), while per-stream intrinsics work by passing K with
+# a leading B axis.
+
+
+def monocular_init_batched(grays, masks, K, key, cfg: DVOConfig = DVOConfig.monocular()):
+    """Initialize B independent monocular streams.  grays/masks: (B, H, W);
+    K: (3, 3) shared or (B, 3, 3); key: a single PRNG key, split per
+    stream.  Returns a VOState with a leading B axis on every leaf."""
+    b = grays.shape[0]
+    keys = jax.random.split(key, b)
+    k_axis = 0 if jnp.ndim(K) == 3 else None
+    return jax.vmap(
+        lambda g, m, kk, kr: monocular_init(g, m, kk, kr, cfg),
+        in_axes=(0, 0, k_axis, 0),
+    )(grays, masks, K, keys)
+
+
+@partial(jax.jit, static_argnames="cfg")
+def monocular_run_batched(states, grays, masks, K,
+                          cfg: DVOConfig = DVOConfig.monocular()):
+    """B-stream chunked driver: ``monocular_run`` vmapped over the stream
+    axis.  grays/masks: (B, N, H, W); K: (3, 3) or (B, 3, 3).  Returns
+    (states', StepResult with leading (B, N) axes)."""
+    k_axis = 0 if jnp.ndim(K) == 3 else None
+    return jax.vmap(
+        lambda st, g, m, kk: monocular_run(st, g, m, kk, cfg),
+        in_axes=(0, 0, 0, k_axis),
+    )(states, grays, masks, K)

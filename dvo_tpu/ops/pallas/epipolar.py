@@ -154,7 +154,16 @@ def _epipolar_kernel(
 
         zero = sx * 0.0  # data-dependent zero (see zrow note above)
         init = (zero, zero, zero, zero, zero + big, zero)
-        _, _, _, _, min_ssd, best_s = lax.fori_loop(0, steps + 2, march, init)
+        # Dynamic trip count: offsets past (length + 2) are masked out of
+        # every SSD window by win_ok, so skipping them is exact — the
+        # reference's own march runs `while t < length` (implement.cpp:141).
+        # Rows whose longest valid segment is short (the typical case once
+        # the depth filter converges) march only as far as they must.
+        row_len = jnp.max(jnp.where(f(F_BASE_OK) > 0.5, length, 0.0))
+        n_off = jnp.minimum(
+            jnp.ceil(row_len).astype(jnp.int32) + 4, steps + 2
+        )
+        _, _, _, _, min_ssd, best_s = lax.fori_loop(0, n_off, march, init)
 
         match_ok = min_ssd <= cfg.ssd_window * cfg.matching_threshold_ratio
         best_o = best_s + 1.0

@@ -202,3 +202,28 @@ def test_monocular_deterministic(rng):
         return np.stack(outs)
 
     np.testing.assert_array_equal(run(), run())
+
+
+def test_uint8_input_matches_float(rng):
+    """Frames may arrive as raw uint8 (4x less host->device traffic); the
+    device-side normalization must reproduce the host-normalized pipeline
+    exactly (models/frame._normalize_gray)."""
+    h, w = 48, 64
+    frames, depth0, K = render_sequence(rng, 3, h, w,
+                                        np.array([0.01, 0, 0, 0, 0, 0], np.float32))
+    u8 = [np.clip(f[0] * 255, 0, 255).astype(np.uint8) for f in frames]
+    cfg = DVOConfig(pyramid=PyramidConfig(levels=2, culls=0))
+    mask = jnp.ones((h, w), bool)
+    Kd = jnp.asarray(K)
+
+    def run(inputs):
+        st = monocular_init(jnp.asarray(inputs[0]), mask, Kd, jax.random.PRNGKey(0), cfg)
+        out = []
+        for g in inputs[1:]:
+            st, res = monocular_step(st, jnp.asarray(g), mask, Kd, cfg)
+            out.append(np.asarray(res.T_world))
+        return np.stack(out)
+
+    T_u8 = run(u8)
+    T_f = run([g.astype(np.float32) / 255.0 for g in u8])
+    np.testing.assert_allclose(T_u8, T_f, rtol=1e-6, atol=1e-7)
