@@ -61,6 +61,12 @@ class TrackerConfig:
     # Levenberg damping added to J^T J diagonal (0 = faithful Gauss-Newton;
     # the reference's DECOMP_SVD pseudo-inverse is emulated by a tiny ridge).
     damping: float = 1e-6
+    # Iteration driver: True runs the GN loop as a ``lax.while_loop`` that
+    # exits at convergence — the reference's post-update break
+    # (tracker.cpp:68-73) as a real device-side early exit (typical
+    # convergence is 3-6 of the 15 iterations).  False runs a fixed-length
+    # ``lax.scan`` with a freeze mask: identical results, constant cost.
+    early_exit: bool = True
     # GN linearization backend: "auto" (pallas on TPU, xla elsewhere),
     # "xla" (gather-based, exact reference sampling semantics) or "pallas"
     # (fused VMEM kernel, MXU one-hot sampling with clamp-to-edge borders —

@@ -166,6 +166,34 @@ def gn_solve(Hmat, g, count, damping: float):
     return jnp.where(count > 0, delta, jnp.zeros_like(delta))
 
 
+def _gn_iteration(obj, ref, xi, level_index, cfg):
+    """One linearize-solve-compose GN step.  Returns
+    (new_xi, mean_res, update_norm, count, converged)."""
+    if resolve_backend(cfg.backend) == "pallas":
+        from dvo_tpu.ops.pallas.gn import gn_terms_pallas
+
+        Hmat, g, rsum, count = gn_terms_pallas(
+            obj.gray, obj.mask, ref.depth, ref.sigma,
+            ref.gray, ref.mask, ref.gx, ref.gy, ref.gmask,
+            ref.K, lie.se3_exp(-xi), level_index, cfg,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        Hmat, g, rsum, count = gn_normal_equations(obj, ref, xi, level_index, cfg)
+    delta = gn_solve(Hmat, g, count, cfg.damping)
+    new_xi = lie.compose(xi, delta)
+    # NaN guard: keep previous xi on a bad update (tracker.cpp:47-51).
+    new_xi = jnp.where(lie.is_finite_xi(new_xi), new_xi, xi)
+
+    mean_res = jnp.where(count > 0, rsum / jnp.maximum(count, 1), -1.0)
+    upd = jnp.linalg.norm(delta)
+    # Convergence is evaluated *after* applying the update, as in the
+    # reference's post-update break (tracker.cpp:68-73).  count == 0
+    # also stops (residual -1 < threshold there).
+    converged = (upd < cfg.min_update_norm) | (mean_res < cfg.min_residual) | (count == 0)
+    return new_xi, mean_res, upd, count, converged
+
+
 def track_level(
     obj: Scene,
     ref: Scene,
@@ -173,34 +201,58 @@ def track_level(
     level_index: int,
     cfg: TrackerConfig,
 ):
-    """<= max_iterations GN steps at one pyramid level with convergence
-    masking (reference tracker.cpp:42-73).  Returns (xi, metrics)."""
+    """<= max_iterations GN steps at one pyramid level (reference
+    tracker.cpp:42-73).  Returns (xi, metrics).
+
+    Two equivalent iteration drivers (identical results, same trace shape):
+
+    * ``early_exit=True`` (default): ``lax.while_loop`` that stops at
+      convergence — the reference's post-update ``break`` as a real
+      device-side exit.  Typical sequences converge in 3-6 iterations, so
+      this skips ~2/3 of the linearizations' device time.
+    * ``early_exit=False``: fixed-length ``lax.scan`` with a freeze mask —
+      constant per-call cost (useful for benchmarking a worst-case bound,
+      and marginally better under heavy vmap where lanes converge at very
+      different iterations and the while_loop runs to the slowest lane
+      anyway).
+    """
+    n = cfg.max_iterations
+
+    if cfg.early_exit:
+        zeros = jnp.zeros((n,), jnp.float32)
+
+        def cond(carry):
+            i, _, done, *_ = carry
+            return (i < n) & ~done
+
+        def body(carry):
+            i, xi, _, res, upd_a, cnt = carry
+            new_xi, mean_res, upd, count, converged = _gn_iteration(
+                obj, ref, xi, level_index, cfg
+            )
+            return (
+                i + 1,
+                new_xi,
+                converged,
+                res.at[i].set(mean_res),
+                upd_a.at[i].set(upd),
+                cnt.at[i].set(count),
+            )
+
+        iters, xi, _, res, upd, cnt = lax.while_loop(
+            cond,
+            body,
+            (jnp.int32(0), xi0, jnp.asarray(False), zeros, zeros,
+             jnp.zeros((n,), jnp.int32)),
+        )
+        return xi, (res, upd, cnt, iters)
 
     def body(carry, _):
         xi, done = carry
-        if resolve_backend(cfg.backend) == "pallas":
-            from dvo_tpu.ops.pallas.gn import gn_terms_pallas
-
-            Hmat, g, rsum, count = gn_terms_pallas(
-                obj.gray, obj.mask, ref.depth, ref.sigma,
-                ref.gray, ref.mask, ref.gx, ref.gy, ref.gmask,
-                ref.K, lie.se3_exp(-xi), level_index, cfg,
-                interpret=jax.default_backend() != "tpu",
-            )
-        else:
-            Hmat, g, rsum, count = gn_normal_equations(obj, ref, xi, level_index, cfg)
-        delta = gn_solve(Hmat, g, count, cfg.damping)
-        new_xi = lie.compose(xi, delta)
-        # NaN guard: keep previous xi on a bad update (tracker.cpp:47-51).
-        new_xi = jnp.where(lie.is_finite_xi(new_xi), new_xi, xi)
+        new_xi, mean_res, upd, count, converged = _gn_iteration(
+            obj, ref, xi, level_index, cfg
+        )
         xi_out = jnp.where(done, xi, new_xi)
-
-        mean_res = jnp.where(count > 0, rsum / jnp.maximum(count, 1), -1.0)
-        upd = jnp.linalg.norm(delta)
-        # Convergence is evaluated *after* applying the update, as in the
-        # reference's post-update break (tracker.cpp:68-73).  count == 0
-        # also stops (residual -1 < threshold there).
-        converged = (upd < cfg.min_update_norm) | (mean_res < cfg.min_residual) | (count == 0)
         new_done = done | converged
         stats = (
             jnp.where(done, 0.0, mean_res),
@@ -216,11 +268,20 @@ def track_level(
     return xi, (res, upd, cnt, jnp.sum(active))
 
 
-def track(obj_frame: Frame, ref_frame: Frame, cfg: TrackerConfig = TrackerConfig()) -> TrackResult:
+def track(
+    obj_frame: Frame,
+    ref_frame: Frame,
+    cfg: TrackerConfig = TrackerConfig(),
+    xi0: jax.Array | None = None,
+) -> TrackResult:
     """Full coarse-to-fine track: level 0 (coarsest) -> finest, xi carried
     across levels (reference tracker.cpp:22-84).  The level loop is
-    Python-unrolled under jit — levels have distinct static shapes."""
-    xi = jnp.zeros(6, jnp.float32)
+    Python-unrolled under jit — levels have distinct static shapes.
+
+    ``xi0`` optionally warm-starts the optimization (the reference always
+    starts from identity, tracker.cpp:28; a motion prior is an additive
+    capability used by the pipeline's ``TrackerConfig.warm_start``)."""
+    xi = jnp.zeros(6, jnp.float32) if xi0 is None else xi0
     res_l, upd_l, cnt_l, iters_l = [], [], [], []
     for level in range(len(ref_frame.scenes)):
         xi, (res, upd, cnt, iters) = track_level(

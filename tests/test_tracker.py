@@ -123,3 +123,57 @@ def test_track_deterministic(rng):
     a = np.asarray(track(obj, ref).xi)
     b = np.asarray(track(obj, ref).xi)
     np.testing.assert_array_equal(a, b)
+
+
+def test_early_exit_matches_masked_scan(rng):
+    """The while_loop early-exit driver and the fixed-length masked scan are
+    the same algorithm: identical xi, per-iteration stats, iteration counts."""
+    h, w = 60, 80
+    ref_img, depth, sigma, K, obj_img, obj_mask, _ = make_pair(rng, h, w)
+    obj = build_frame_with_depth(
+        jnp.asarray(obj_img), jnp.asarray(obj_mask), jnp.asarray(depth),
+        jnp.asarray(sigma), jnp.asarray(K), levels=2, culls=0, frame_id=1
+    )
+    ref = build_frame_with_depth(
+        jnp.asarray(ref_img), jnp.ones((h, w), bool), jnp.asarray(depth),
+        jnp.asarray(sigma), jnp.asarray(K), levels=2, culls=0, frame_id=0
+    )
+    r_we = jax.jit(lambda o, r: track(o, r, TrackerConfig(early_exit=True)))(obj, ref)
+    r_ms = jax.jit(lambda o, r: track(o, r, TrackerConfig(early_exit=False)))(obj, ref)
+    np.testing.assert_allclose(np.asarray(r_we.xi), np.asarray(r_ms.xi), rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(r_we.iterations), np.asarray(r_ms.iterations))
+    np.testing.assert_allclose(
+        np.asarray(r_we.residuals), np.asarray(r_ms.residuals), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_array_equal(np.asarray(r_we.valid_counts), np.asarray(r_ms.valid_counts))
+    # And some iterations must actually have been skipped for the early exit
+    # to be worth anything on this easy pair.
+    assert int(np.asarray(r_we.iterations).sum()) < 2 * TrackerConfig().max_iterations
+
+
+def test_early_exit_vmaps(rng):
+    """vmap of the while_loop driver (the batched multi-stream mode) runs to
+    the slowest lane but must produce each lane's own converged xi."""
+    h, w = 48, 64
+    frames = []
+    for s in range(2):
+        xi_true = (0.01 + 0.01 * s, -0.005, 0.0, 0.0, 0.002, 0.0)
+        ref_img, depth, sigma, K, obj_img, obj_mask, _ = make_pair(rng, h, w, xi_true)
+        obj = build_frame_with_depth(
+            jnp.asarray(obj_img), jnp.asarray(obj_mask), jnp.asarray(depth),
+            jnp.asarray(sigma), jnp.asarray(K), levels=2, culls=0, frame_id=1
+        )
+        ref = build_frame_with_depth(
+            jnp.asarray(ref_img), jnp.ones((h, w), bool), jnp.asarray(depth),
+            jnp.asarray(sigma), jnp.asarray(K), levels=2, culls=0, frame_id=0
+        )
+        frames.append((obj, ref))
+    objs = jax.tree.map(lambda *xs: jnp.stack(xs), *[f[0] for f in frames])
+    refs = jax.tree.map(lambda *xs: jnp.stack(xs), *[f[1] for f in frames])
+    cfg = TrackerConfig(early_exit=True)
+    xi_b = jax.jit(jax.vmap(lambda o, r: track(o, r, cfg).xi))(objs, refs)
+    for s, (obj, ref) in enumerate(frames):
+        xi_s = track(obj, ref, cfg).xi
+        np.testing.assert_allclose(
+            np.asarray(xi_b[s]), np.asarray(xi_s), rtol=1e-5, atol=1e-6
+        )
