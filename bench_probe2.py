@@ -1,0 +1,260 @@
+"""Loop-amortized TPU phase probe — the honest successor to bench_probe.py.
+
+Round-2's probe timed single dispatches, but the axon tunnel has a ~27 ms
+round-trip floor (measured: a trivial jitted op + 1-element fetch), so every
+sub-30ms op measured as "~28 ms" regardless of its real device cost, and
+full-array np.asarray fetches turned throughput numbers into tunnel-bandwidth
+numbers (~44 MB/s).
+
+Fix: every op here is repeated K times INSIDE one device program (lax.scan
+with a value dependency so nothing folds away), the program returns a single
+scalar, and per-iteration time = (total - rtt) / K.  That isolates on-device
+execution from tunnel RTT and fetch bandwidth.
+
+Usage: python bench_probe2.py [section ...]
+Sections: rtt mxu track map reg prop pipeline batched (default: all).
+Writes PROBE_r03.json with every measurement.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+RESULTS = {}
+
+
+def _fetch_scalar(r):
+    # Reduce whatever comes back to one element BEFORE fetching: the fetch
+    # must be O(1) bytes or we time the tunnel, not the device.
+    leaf = jax.tree.leaves(r)[0]
+    return float(np.asarray(leaf.ravel()[0] if leaf.ndim else leaf))
+
+
+def timed(tag, f, *a, n=3):
+    t0 = time.perf_counter()
+    _fetch_scalar(f(*a))
+    compile_s = time.perf_counter() - t0
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        _fetch_scalar(f(*a))
+        ts.append(time.perf_counter() - t0)
+    med = float(np.median(ts)) * 1e3
+    print(f"{tag}: median {med:.2f}ms (compile {compile_s:.1f}s, all "
+          f"{[f'{t*1e3:.1f}' for t in ts]})", flush=True)
+    RESULTS[tag] = med
+    return med
+
+
+def loop_timed(tag, step, x0, K):
+    """Time K chained applications of ``step`` inside ONE program.
+    ``step``: x -> x (same pytree structure)."""
+
+    @jax.jit
+    def prog(x):
+        return lax.fori_loop(0, K, lambda i, c: step(c), x)
+
+    def scalarize(x):
+        return jax.tree.leaves(prog(x))[0]
+
+    total = timed(f"{tag} (K={K} total)", scalarize, x0)
+    rtt = RESULTS.get("rtt-floor", 0.0)
+    per = (total - rtt) / K
+    print(f"{tag}: {per*1e3:.1f} us/iter  ({per:.3f} ms)", flush=True)
+    RESULTS[tag] = per
+    return per
+
+
+def sec_rtt():
+    x = jnp.ones((8, 8))
+    f = jax.jit(lambda a: (a @ a)[0, 0])
+    timed("rtt-floor", f, x, n=5)
+
+
+def sec_mxu():
+    a = jnp.ones((2048, 2048), jnp.bfloat16)
+    K = 200
+
+    @jax.jit
+    def prog(a):
+        return lax.fori_loop(0, K, lambda i, x: x @ a, a)[0, 0]
+
+    t = timed(f"mm-2048-bf16-x{K}", prog, a)
+    rtt = RESULTS.get("rtt-floor", 0.0)
+    tf = (2 * 2048**3 * K) / max(t - rtt, 1e-3) / 1e9
+    print(f"  -> {tf:.1f} TFLOP/s bf16", flush=True)
+    RESULTS["mxu_tflops_bf16"] = tf
+
+
+def _track_step(cfg_kwargs, obj, ref):
+    from dvo_tpu.config import TrackerConfig
+    from dvo_tpu.models.tracker import track
+
+    cfg = TrackerConfig(**cfg_kwargs)
+
+    def step(g):
+        import dataclasses as dc
+        o = obj
+        # dependency: perturb obj gray by carried scalar (0 in practice)
+        sc = dc.replace(o.scenes[-1], gray=o.scenes[-1].gray + g[0, 0] * 0.0)
+        o = dc.replace(o, scenes=tuple(o.scenes[:-1]) + (sc,))
+        xi = track(o, ref, cfg).xi
+        return g + xi[0] * 0.0
+
+    return step
+
+
+def sec_track():
+    import __graft_entry__ as g
+
+    for (h, w, lv, tag) in [(120, 160, 3, "160x120"), (212, 256, 4, "256x212")]:
+        obj, ref = g._synthetic_frames(h, w, levels=lv)
+        x0 = jnp.zeros((8, 128), jnp.float32)
+        for backend in ("xla", "pallas"):
+            for ee in (True, False):
+                name = f"track-{tag}-{backend}-ee{int(ee)}"
+                loop_timed(
+                    name,
+                    _track_step(dict(backend=backend, early_exit=ee), obj, ref),
+                    x0, K=30,
+                )
+
+
+def sec_map():
+    import __graft_entry__ as g
+    from dvo_tpu.config import MapperConfig
+    from dvo_tpu.models.history import KeyframeHistory, push
+    from dvo_tpu.models.mapper import depth_update, depth_update_pallas
+
+    for (h, w, tag) in [(120, 160, "160x120"), (212, 256, "256x212")]:
+        obj, ref = g._synthetic_frames(h, w, levels=3)
+        hist = push(KeyframeHistory.create(8, h, w), ref)
+        key = jax.random.PRNGKey(0)
+        xi = jnp.asarray([0.02, 0, 0, 0, 0, 0], jnp.float32)
+        age = jnp.zeros((h, w), jnp.int32)
+        mc = MapperConfig()
+        base = ref.base
+
+        def mk(fn):
+            def step(d_s):
+                d, s = d_s
+                nd, ns, _, _ = fn(
+                    obj.base, xi, xi, d, s, age, hist, key, mc
+                )
+                return (nd, ns)
+            return step
+
+        x0 = (base.depth, base.sigma)
+        loop_timed(f"depthupd-{tag}-xla", mk(depth_update), x0, K=20)
+        loop_timed(f"depthupd-{tag}-pallas", mk(depth_update_pallas), x0, K=20)
+
+
+def sec_reg():
+    from dvo_tpu.config import MapperConfig
+    from dvo_tpu.models.mapper import regularize, propagate
+    from dvo_tpu.ops.pallas.regularize import regularize_pallas
+
+    mc = MapperConfig()
+    h, w = 120, 160
+    key = jax.random.PRNGKey(0)
+    d = jax.random.uniform(key, (h, w), minval=0.5, maxval=3.0)
+    s = jnp.full((h, w), 0.3)
+    loop_timed("regularize-160x120-xla",
+               lambda ds: (regularize(ds[0], ds[1], mc), ds[1]), (d, s), K=50)
+    loop_timed("regularize-160x120-pallas",
+               lambda ds: (regularize_pallas(ds[0], ds[1], mc), ds[1]), (d, s), K=50)
+
+    from dvo_tpu.config import InitConfig
+    xi = jnp.asarray([0.02, 0, 0, 0, 0, 0], jnp.float32)
+    K3 = jnp.asarray([[150.0, 0, 80], [0, 150.0, 60], [0, 0, 1]], jnp.float32)
+    age = jnp.zeros((h, w), jnp.int32)
+
+    def prop_step(ds):
+        nd, ns, _ = propagate(ds[0], ds[1], age, xi, K3, mc, InitConfig())
+        return (nd, ns)
+
+    loop_timed("propagate-160x120", prop_step, (d, s), K=50)
+
+
+def sec_framebuild():
+    from dvo_tpu.config import DVOConfig
+    from dvo_tpu.models.frame import build_frame
+
+    cfg = DVOConfig.monocular()
+    g0 = jnp.ones((480, 640), jnp.float32) * 0.5
+    m0 = jnp.ones((480, 640), bool)
+    K = jnp.asarray([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]], jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    def step(g):
+        fr = build_frame(g, m0, K, cfg.pyramid.levels, cfg.pyramid.culls,
+                         key, 0, cfg.init)
+        return g + fr.base.gray[0, 0] * 0.0
+
+    loop_timed("framebuild-640x480", step, g0, K=50)
+
+
+def sec_pipeline():
+    import bench
+    from dvo_tpu.config import DVOConfig
+    import dataclasses as dc
+    from dvo_tpu.models.odometry import monocular_init, monocular_run
+
+    frames, K = bench._load_frames(97)
+    H, W = frames[0].shape
+    Kd = jnp.asarray(K)
+    mask = jnp.ones((H, W), bool)
+    rtt = RESULTS.get("rtt-floor", 0.0)
+
+    variants = {
+        "full": DVOConfig.monocular(),
+        "ee0": dc.replace(DVOConfig.monocular(),
+                          tracker=dc.replace(DVOConfig.monocular().tracker,
+                                             early_exit=False)),
+        "xla": dc.replace(
+            DVOConfig.monocular(),
+            tracker=dc.replace(DVOConfig.monocular().tracker, backend="xla"),
+            mapper=dc.replace(DVOConfig.monocular().mapper, backend="xla"),
+        ),
+    }
+    for name, cfg in variants.items():
+        n = 96
+        masks = jnp.ones((n, H, W), bool)
+        state = monocular_init(jnp.asarray(frames[0]), mask, Kd,
+                               jax.random.PRNGKey(0), cfg)
+        dev = jnp.asarray(np.stack(frames[1:n + 1]))
+
+        def prog(s, d):
+            _, res = monocular_run(s, d, masks, Kd, cfg)
+            return jnp.sum(res.T_world)
+
+        t = timed(f"mono-run-96f-{name}", jax.jit(prog), state, dev)
+        per = (t - rtt) / n
+        print(f"  -> {per:.2f} ms/frame = {1e3/per:.1f} fps", flush=True)
+        RESULTS[f"mono_ms_per_frame_{name}"] = per
+
+
+def main():
+    sections = sys.argv[1:] or ["rtt", "mxu", "track", "map", "reg",
+                                "framebuild", "pipeline"]
+    print("devices:", jax.devices(), flush=True)
+    fns = {
+        "rtt": sec_rtt, "mxu": sec_mxu, "track": sec_track, "map": sec_map,
+        "reg": sec_reg, "framebuild": sec_framebuild, "pipeline": sec_pipeline,
+    }
+    if "rtt" not in sections:
+        sec_rtt()  # always need the floor
+    for s in sections:
+        fns[s]()
+    with open("PROBE_r03.json", "w") as f:
+        json.dump(RESULTS, f, indent=1)
+    print("wrote PROBE_r03.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()

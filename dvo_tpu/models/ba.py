@@ -18,11 +18,20 @@ Structure (all static shapes, one jitted program):
   * Jacobians are analytic (the tracker's direct-method chain extended
     with the target-pose and inverse-depth terms) and evaluated densely.
   * Normal system: camera block H_cc (6M x 6M), diagonal depth block
-    H_dd (one scalar per host pixel), coupling H_cd.  The Schur complement
-    H_cc - H_cd H_dd^-1 H_dc is accumulated as one einsum over per-pixel
-    camera-gradient vectors b_p (H, W, 6M) — no sparse bookkeeping — and
-    the reduced 6M x 6M system is solved by Cholesky.  Depths
-    back-substitute elementwise.
+    H_dd (one scalar per host pixel), coupling H_cd.  The per-pixel depth
+    parameter couples only its own host keyframe's residuals, so the Schur
+    complement S = H_cc - H_cd H_dd^-1 H_dc is SEPARABLE PER HOST: each
+    host keyframe's scan accumulates its own coupling rows b_p (H, W, 6M),
+    folds them into a per-host (6M, 6M) Schur contribution, and discards
+    them — nothing of size (M, H, W, 6M) is ever materialized (the round-2
+    version stacked exactly that: ~1 GB at window 7 / 256x212).  The
+    reduced 6M x 6M system is solved by Cholesky; inverse-depth
+    back-substitution recomputes the per-pixel coupling dot b_p . dc in a
+    second cheap pass over the pair terms.
+  * Camera-block accumulation works on 6x6 blocks (host-host, host-target,
+    target-target) placed into an (M, M, 6, 6) grid — not on 6M-wide
+    one-hot-expanded rows, which costs M^2 more MXU work for the same
+    numbers.
 
 On a mesh, host keyframes shard over the ``kf`` axis and the reduced system
 is psum-reduced over ICI (dvo_tpu.parallel.ba).
@@ -183,68 +192,123 @@ def _current_window(window: BAWindow, deltas, drho) -> Tuple[BAWindow, jax.Array
     return dataclasses.replace(window, depth=new_depth), T_all
 
 
-def host_system(window: BAWindow, T_all, k, cfg: BAConfig):
-    """Normal-system contribution of host keyframe k (its pixels against
-    every target j != k).  ``k`` may be a *traced* index — block placement
-    into the 6M-wide camera system uses a one-hot along the keyframe axis,
-    which is what lets hosts shard across devices (dvo_tpu.parallel.ba).
+def _gated_pair_terms(window: BAWindow, T_all, k, j, cfg: BAConfig):
+    """Pair terms with the self-pair and gauge gates applied (keyframe 0's
+    pose is fixed; k == j contributes nothing)."""
+    r, w_all, Jk, Jj, Jrho = _pair_terms(window, T_all, k, j, cfg)
+    w_all = w_all * jnp.where(j == k, 0.0, 1.0)               # skip self-pair
+    Jk = Jk * jnp.where(k == 0, 0.0, 1.0)                     # gauge host
+    Jj = Jj * jnp.where(j == 0, 0.0, 1.0)                     # gauge target
+    return r, w_all, Jk, Jj, Jrho
 
-    Returns (Hcc (6M,6M), gc (6M,), b_host (H,W,6M), hdd (H,W), gd (H,W),
-    cost, count)."""
+
+def host_system(window: BAWindow, T_all, k, cfg: BAConfig):
+    """Schur-reduced normal-system contribution of host keyframe k (its
+    pixels against every target j != k).  ``k`` may be a *traced* index —
+    block placement uses one-hots along the keyframe axis, which is what
+    lets hosts shard across devices (dvo_tpu.parallel.ba).
+
+    Every pixel's inverse-depth parameter belongs to exactly one host, so
+    its Schur elimination completes within this function: the coupling rows
+    b_p (H, W, 6M) live only for the duration of this host and are folded
+    into S_k before returning.
+
+    Returns (S_k (6M,6M) Schur-reduced camera block, g_k (6M,) reduced
+    gradient, hdd (H,W), gd (H,W), cost, count)."""
     m, h, w_px = window.gray.shape
     n = 6 * m
     oh_k = jax.nn.one_hot(k, m, dtype=jnp.float32)           # (M,)
-    gauge_k = jnp.where(k == 0, 0.0, 1.0)                     # fix keyframe 0
 
     def target(carry, j):
-        Hcc, gc, b_host, hdd, gd, cost, count = carry
-        r, w_all, Jk, Jj, Jrho = _pair_terms(window, T_all, k, j, cfg)
-        w_all = w_all * jnp.where(j == k, 0.0, 1.0)           # skip self-pair
-        Jk = Jk * gauge_k
-        Jj = Jj * jnp.where(j == 0, 0.0, 1.0)                 # gauge target
-        # Full-width Jacobian rows: host block via one-hot(k), target block
-        # via one-hot(j).
+        Hblk, gc, b_host, hdd, gd, cost, count = carry
+        r, w_all, Jk, Jj, Jrho = _gated_pair_terms(window, T_all, k, j, cfg)
         oh_j = jax.nn.one_hot(j, m, dtype=jnp.float32)
-        Jfull = Jk[..., None, :] * oh_k[:, None] + Jj[..., None, :] * oh_j[:, None]
-        Jfull = Jfull.reshape(h, w_px, n)                     # (H,W,6M)
-        wJ = Jfull * w_all[..., None]
-        Hcc = Hcc + jnp.einsum("hwi,hwj->ij", wJ, Jfull, precision=_HI)
-        gc = gc + jnp.einsum("hwi,hw->i", wJ, r, precision=_HI)
-        b_host = b_host + wJ * Jrho[..., None]
-        hdd = hdd + w_all * Jrho * Jrho
-        gd = gd + w_all * Jrho * r
+        wJk = Jk * w_all[..., None]
+        wJj = Jj * w_all[..., None]
+        # 6x6 blocks on the MXU; placement via tiny (M,M) one-hot outers.
+        Hkk = jnp.einsum("hwi,hwj->ij", wJk, Jk, precision=_HI)
+        Hkj = jnp.einsum("hwi,hwj->ij", wJk, Jj, precision=_HI)
+        Hjj = jnp.einsum("hwi,hwj->ij", wJj, Jj, precision=_HI)
+        Hblk = (
+            Hblk
+            + jnp.einsum("a,b,ij->abij", oh_k, oh_k, Hkk)
+            + jnp.einsum("a,b,ij->abij", oh_k, oh_j, Hkj)
+            + jnp.einsum("a,b,ij->abij", oh_j, oh_k, Hkj.T)
+            + jnp.einsum("a,b,ij->abij", oh_j, oh_j, Hjj)
+        )
+        gk = jnp.einsum("hwi,hw->i", wJk, r, precision=_HI)
+        gj = jnp.einsum("hwi,hw->i", wJj, r, precision=_HI)
+        gc = gc + oh_k[:, None] * gk + oh_j[:, None] * gj
+        # Coupling rows: block k and block j both accumulate over targets.
+        wJrho = w_all * Jrho
+        b_host = b_host + (
+            oh_k[:, None] * (Jk * wJrho[..., None])[..., None, :]
+            + oh_j[:, None] * (Jj * wJrho[..., None])[..., None, :]
+        )
+        hdd = hdd + wJrho * Jrho
+        gd = gd + wJrho * r
         cost = cost + jnp.sum(w_all * r * r)
         count = count + jnp.sum((w_all > 0).astype(jnp.int32))
-        return (Hcc, gc, b_host, hdd, gd, cost, count), None
+        return (Hblk, gc, b_host, hdd, gd, cost, count), None
 
     init = (
-        jnp.zeros((n, n), jnp.float32),
-        jnp.zeros((n,), jnp.float32),
-        jnp.zeros((h, w_px, n), jnp.float32),
+        jnp.zeros((m, m, 6, 6), jnp.float32),
+        jnp.zeros((m, 6), jnp.float32),
+        jnp.zeros((h, w_px, m, 6), jnp.float32),
         jnp.zeros((h, w_px), jnp.float32),
         jnp.zeros((h, w_px), jnp.float32),
         jnp.asarray(0.0, jnp.float32),
         jnp.asarray(0, jnp.int32),
     )
-    (Hcc, gc, b_host, hdd, gd, cost, count), _ = lax.scan(
+    (Hblk, gc, b_host, hdd, gd, cost, count), _ = lax.scan(
         target, init, jnp.arange(m)
     )
-    return Hcc, gc, b_host, hdd, gd, cost, count
+    Hcc = Hblk.transpose(0, 2, 1, 3).reshape(n, n)
+    gc = gc.reshape(n)
+    b_host = b_host.reshape(h, w_px, n)
+    # Fold this host's pixels' depth elimination into the camera system NOW
+    # and drop b_host — the Schur complement is separable per host.
+    hdd_inv = 1.0 / (hdd + cfg.depth_damping)
+    S_k = Hcc - jnp.einsum("hwi,hwj,hw->ij", b_host, b_host, hdd_inv,
+                           precision=_HI)
+    g_k = gc - jnp.einsum("hwi,hw,hw->i", b_host, gd, hdd_inv, precision=_HI)
+    return S_k, g_k, hdd, gd, cost, count
+
+
+def coupling_dot(window: BAWindow, T_all, k, dc, cfg: BAConfig):
+    """Per-pixel coupling dot b_p . dc for host keyframe k, recomputed from
+    the pair terms (the rows themselves are never stored across hosts).
+    ``dc`` is the solved (6M,) camera increment.  Returns (H, W)."""
+    m = window.gray.shape[0]
+    dc_m = dc.reshape(m, 6)
+
+    def target(bdot, j):
+        _, w_all, Jk, Jj, Jrho = _gated_pair_terms(window, T_all, k, j, cfg)
+        dot = (
+            jnp.einsum("hwi,i->hw", Jk, dc_m[k])
+            + jnp.einsum("hwi,i->hw", Jj, dc_m[j])
+        )
+        return bdot + w_all * Jrho * dot, None
+
+    bdot0 = jnp.zeros(window.gray.shape[1:], jnp.float32)
+    bdot, _ = lax.scan(target, bdot0, jnp.arange(m))
+    return bdot
 
 
 def build_system(window: BAWindow, deltas, drho, cfg: BAConfig):
-    """Accumulate the full BA normal system at the current increments.
+    """Accumulate the Schur-reduced BA system at the current increments.
 
-    Returns (Hcc (6M,6M), gc (6M,), b (M,H,W,6M) coupling rows, hdd, gd,
-    cost, count)."""
+    Returns (S (6M,6M), g_red (6M,), hdd (M,H,W), gd (M,H,W), cost, count).
+    Peak memory is one host's coupling rows (H, W, 6M) — nothing scales as
+    M * H * W * 6M."""
     m, h, w_px = window.gray.shape
     window, T_all = _current_window(window, deltas, drho)
     n = 6 * m
 
     def host(carry, k):
-        Hcc, gc, cost, count = carry
-        Hk, gk, bk, hddk, gdk, ck, nk = host_system(window, T_all, k, cfg)
-        return (Hcc + Hk, gc + gk, cost + ck, count + nk), (bk, hddk, gdk)
+        S, g_red, cost, count = carry
+        Sk, gk, hddk, gdk, ck, nk = host_system(window, T_all, k, cfg)
+        return (S + Sk, g_red + gk, cost + ck, count + nk), (hddk, gdk)
 
     init = (
         jnp.zeros((n, n), jnp.float32),
@@ -252,10 +316,8 @@ def build_system(window: BAWindow, deltas, drho, cfg: BAConfig):
         jnp.asarray(0.0, jnp.float32),
         jnp.asarray(0, jnp.int32),
     )
-    (Hcc, gc, cost, count), (b, hdd, gd) = lax.scan(
-        host, init, jnp.arange(m)
-    )
-    return Hcc, gc, b, hdd, gd, cost, count
+    (S, g_red, cost, count), (hdd, gd) = lax.scan(host, init, jnp.arange(m))
+    return S, g_red, hdd, gd, cost, count
 
 
 def ba_step(window: BAWindow, deltas, drho, cfg: BAConfig):
@@ -263,12 +325,8 @@ def ba_step(window: BAWindow, deltas, drho, cfg: BAConfig):
     Returns (new_deltas, new_drho, cost, count)."""
     m, h, w_px = window.gray.shape
     n = 6 * m
-    Hcc, gc, b, hdd, gd, cost, count = build_system(window, deltas, drho, cfg)
-
-    hdd_inv = 1.0 / (hdd + cfg.depth_damping)
-    # Schur complement and reduced gradient over all host pixels at once.
-    S = Hcc - jnp.einsum("mhwi,mhwj,mhw->ij", b, b, hdd_inv, precision=_HI)
-    g_red = gc - jnp.einsum("mhwi,mhw,mhw->i", b, gd, hdd_inv, precision=_HI)
+    win_cur, T_all = _current_window(window, deltas, drho)
+    S, g_red, hdd, gd, cost, count = build_system(window, deltas, drho, cfg)
 
     S = S + cfg.damping * jnp.eye(n, dtype=S.dtype)
     # Gauge block: keep keyframe 0 pinned via identity rows.
@@ -276,8 +334,13 @@ def ba_step(window: BAWindow, deltas, drho, cfg: BAConfig):
     # Sign: residual convention r(delta) with dr/ddelta = J gives the GN
     # step delta = -(S)^-1 g.
     dc = -jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(S), g_red)
-    # Back-substitute inverse-depth increments.
-    d_drho = -(gd + jnp.einsum("mhwi,i->mhw", b, dc, precision=_HI)) * hdd_inv
+    # Back-substitute inverse-depth increments; the coupling dot is
+    # recomputed per host (see coupling_dot) instead of stored.
+    hdd_inv = 1.0 / (hdd + cfg.depth_damping)
+    bdot = lax.map(
+        lambda k: coupling_dot(win_cur, T_all, k, dc, cfg), jnp.arange(m)
+    )
+    d_drho = -(gd + bdot) * hdd_inv
 
     new_deltas = jax.vmap(lie.compose)(deltas, dc.reshape(m, 6))
     new_drho = drho + d_drho

@@ -1,0 +1,426 @@
+"""Global pose-graph refinement over the keyframe trajectory.
+
+A capability beyond the reference (which never refines a pose after
+emitting it — its trajectory is drawn and forgotten, main.cpp:49-54):
+Gauss-Newton over the stacked world twists of ALL keyframes, constrained by
+relative-pose measurements.  Constraints come from three sources (harvested
+by utils.runner):
+
+  * odometry: the tracked relative pose between consecutive keyframes;
+  * BA windows: refined relative poses between keyframes that shared a
+    windowed-BA solve (models/ba.py) — higher weight;
+  * loop closures: re-tracked relative poses between non-adjacent keyframes
+    that ended up spatially close (the drift-correcting ingredient).
+
+TPU-first shape: the problem is tiny (6N for N keyframes, N <= a few
+hundred), so one jitted program runs the whole refinement — per-edge
+residuals and exact 6x12 Jacobians (``jax.jacfwd`` through the Lie chain,
+vmapped over edges), dense (N,6,N,6) normal-matrix assembly by batched
+index-add, Cholesky solve, ``lax.scan`` over GN iterations.  No
+sparse bookkeeping: at N = 256 the dense system is 1536^2 f32 = 9 MB.
+
+Residual convention: edge e = (i, j, z) with z = log(T_i^-1 T_j) measured;
+r_e(d) = log( exp(z)^-1 (T_i exp(d_i))^-1 (T_j exp(d_j)) ), so a
+perfectly consistent graph has r = 0 and the gauge is fixed by pinning
+node 0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dvo_tpu import lie
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PoseGraphEdges:
+    """E relative-pose constraints between node i and node j."""
+
+    i: jax.Array        # (E,) int32 source node
+    j: jax.Array        # (E,) int32 target node
+    z: jax.Array        # (E, 6) measured twist log(T_i^-1 T_j)
+    weight: jax.Array   # (E,) scalar information weight
+
+    @property
+    def size(self) -> int:
+        return self.i.shape[0]
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseGraphConfig:
+    iterations: int = 10
+    # Levenberg lambda, RELATIVE to diag(H) — pose-graph normal matrices mix
+    # translation/rotation scales and are near-singular along weakly
+    # constrained directions; in f32 an absolute ridge is either crushing or
+    # useless.  Adapted x4 down on accepted steps, x4 up on rejected ones.
+    damping: float = 1e-4
+
+
+def _edge_residual(xi_i, xi_j, z, d_i, d_j):
+    """r = log(exp(z)^-1 exp(xi_i exp(d_i))^-1 (T_j exp(d_j)))."""
+    T_i = lie.se3_exp(xi_i) @ lie.se3_exp(d_i)
+    T_j = lie.se3_exp(xi_j) @ lie.se3_exp(d_j)
+    M = lie.invert_T(lie.se3_exp(z)) @ lie.invert_T(T_i) @ T_j
+    return lie.se3_log(M)
+
+
+def _edge_terms(xi, edges: PoseGraphEdges):
+    """Residuals + exact Jacobians wrt right-increments at d = 0 for every
+    edge.  Returns (r (E,6), Ji (E,6,6), Jj (E,6,6))."""
+    zero = jnp.zeros(6, jnp.float32)
+
+    def one(i, j, z):
+        xi_i, xi_j = xi[i], xi[j]
+        r = _edge_residual(xi_i, xi_j, z, zero, zero)
+        Ji = jax.jacfwd(lambda d: _edge_residual(xi_i, xi_j, z, d, zero))(zero)
+        Jj = jax.jacfwd(lambda d: _edge_residual(xi_i, xi_j, z, zero, d))(zero)
+        return r, Ji, Jj
+
+    return jax.vmap(one)(edges.i, edges.j, edges.z)
+
+
+def _graph_cost(xi, edges: PoseGraphEdges):
+    zero = jnp.zeros(6, jnp.float32)
+    r = jax.vmap(
+        lambda i, j, z: _edge_residual(xi[i], xi[j], z, zero, zero)
+    )(edges.i, edges.j, edges.z)
+    return jnp.sum(edges.weight * jnp.sum(r * r, axis=-1))
+
+
+def pose_graph_step(xi, lam, edges: PoseGraphEdges, cfg: PoseGraphConfig):
+    """One Levenberg step with Jacobi preconditioning and accept/reject.
+    Returns (new_xi, new_lam, cost_at_xi)."""
+    n = xi.shape[0]
+    r, Ji, Jj = _edge_terms(xi, edges)
+    w = edges.weight
+    # Gauge: node 0 is pinned — zero its Jacobian columns.
+    gi = jnp.where(edges.i == 0, 0.0, 1.0)[:, None, None]
+    gj = jnp.where(edges.j == 0, 0.0, 1.0)[:, None, None]
+    Ji = Ji * gi
+    Jj = Jj * gj
+
+    wJi = Ji * w[:, None, None]
+    wJj = Jj * w[:, None, None]
+    # Dense block assembly: H (N,6,N,6), g (N,6) by batched index-add.
+    H = jnp.zeros((n, 6, n, 6), jnp.float32)
+    H = H.at[edges.i, :, edges.i, :].add(jnp.einsum("eab,eac->ebc", wJi, Ji))
+    H = H.at[edges.i, :, edges.j, :].add(jnp.einsum("eab,eac->ebc", wJi, Jj))
+    H = H.at[edges.j, :, edges.i, :].add(jnp.einsum("eab,eac->ebc", wJj, Ji))
+    H = H.at[edges.j, :, edges.j, :].add(jnp.einsum("eab,eac->ebc", wJj, Jj))
+    g = jnp.zeros((n, 6), jnp.float32)
+    g = g.at[edges.i].add(jnp.einsum("eab,ea->eb", wJi, r))
+    g = g.at[edges.j].add(jnp.einsum("eab,ea->eb", wJj, r))
+
+    A = H.reshape(6 * n, 6 * n)
+    A = A.at[:6, :6].add(jnp.eye(6, dtype=A.dtype))  # gauge block
+    diag = jnp.diagonal(A)
+    A = A + jnp.diag(lam * diag)
+    # Jacobi preconditioning: the f32 Cholesky of the raw system (mixed
+    # translation/rotation scales) loses enough digits to turn a near-zero-
+    # residual solve into a random walk.
+    D = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-12))
+    As = A * D[:, None] * D[None, :]
+    y = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(As), D * g.reshape(6 * n)
+    )
+    d = (-D * y).reshape(n, 6)
+    d = d.at[0].set(0.0)
+    d = jnp.where(jnp.all(jnp.isfinite(d)), d, jnp.zeros_like(d))
+
+    cost = jnp.sum(w * jnp.sum(r * r, axis=-1))
+    cand = jax.vmap(lie.compose)(xi, d)
+    cand_cost = _graph_cost(cand, edges)
+    accept = cand_cost < cost
+    new_xi = jnp.where(accept, cand, xi)
+    new_lam = jnp.clip(jnp.where(accept, lam * 0.25, lam * 4.0), 1e-7, 1e3)
+    return new_xi, new_lam, cost
+
+
+@functools.partial(jax.jit, static_argnames="cfg")
+def optimize_pose_graph(
+    xi, edges: PoseGraphEdges, cfg: PoseGraphConfig = PoseGraphConfig()
+):
+    """Refine node twists.  Returns (xi_refined (N,6), costs (iters,))."""
+
+    def body(carry, _):
+        x, lam = carry
+        x, lam, cost = pose_graph_step(x, lam, edges, cfg)
+        return (x, lam), cost
+
+    (xi_out, _), costs = lax.scan(
+        body, (xi, jnp.asarray(cfg.damping, jnp.float32)), None,
+        length=cfg.iterations,
+    )
+    return xi_out, costs
+
+
+# ----------------------------------------------------------- host-side utils
+
+def chain_edges(kf_xi, weight=1.0):
+    """Consecutive-keyframe odometry constraints from the emitted chain
+    itself: z_k = log(T_k^-1 T_{k+1}).  These anchor the graph; alone they
+    make it exactly consistent (a no-op) — BA-window and loop-closure edges
+    supply the corrections."""
+    import numpy as np
+
+    n = kf_xi.shape[0]
+    i = np.arange(n - 1, dtype=np.int32)
+    j = i + 1
+    T = [np.asarray(lie.se3_exp(jnp.asarray(x))) for x in kf_xi]
+    z = np.stack([
+        np.asarray(lie.se3_log(jnp.asarray(np.linalg.inv(T[a]) @ T[b])))
+        for a, b in zip(i, j)
+    ]).astype(np.float32)
+    return i, j, z, np.full(n - 1, weight, np.float32)
+
+
+def build_edges(i_list, j_list, z_list, w_list) -> PoseGraphEdges:
+    """Stack harvested constraint lists into a device PoseGraphEdges."""
+    import numpy as np
+
+    return PoseGraphEdges(
+        i=jnp.asarray(np.concatenate(i_list).astype(np.int32)),
+        j=jnp.asarray(np.concatenate(j_list).astype(np.int32)),
+        z=jnp.asarray(np.concatenate(z_list).astype(np.float32)),
+        weight=jnp.asarray(np.concatenate(w_list).astype(np.float32)),
+    )
+
+
+@dataclasses.dataclass
+class _Node:
+    frame_idx: int
+    T_emit: "np.ndarray"          # emitted 4x4 world pose at promotion
+    gray: "np.ndarray"            # input-resolution gray (host copy)
+    mask: "np.ndarray"
+    depth: "np.ndarray | None" = None   # refined base-level depth (on retire)
+    sigma: "np.ndarray | None" = None
+
+
+class PoseGraphHarvester:
+    """Host-side constraint harvesting during a monocular run.
+
+    Call ``on_frame`` after every ``monocular_step``; call ``finalize`` at
+    sequence end to (1) mine loop-closure candidates among spatially-near
+    keyframe pairs and re-track them with the ordinary tracker, (2) run the
+    global pose-graph GN, and (3) re-emit the refined full trajectory.
+
+    Weights: odometry 1, BA-window 3, re-tracked closure 10 (closures are
+    direct photometric alignments, not chained estimates).
+    """
+
+    W_ODOM, W_BA, W_CLOSURE = 1.0, 3.0, 10.0
+
+    def __init__(self, cfg, K, max_closures: int = 16,
+                 closure_residual: float = 0.02, verbose: bool = False):
+        import numpy as np  # noqa: F401
+
+        self.cfg = cfg
+        self.K = K
+        self.max_closures = max_closures
+        self.closure_residual = closure_residual
+        self.verbose = verbose
+        self.nodes: list[_Node] = []
+        self.e_i, self.e_j, self.e_z, self.e_w = [], [], [], []
+        self.closures = 0
+
+    # ------------------------------------------------------------- harvest
+
+    def on_frame(self, frame_idx, res, state, gray, mask):
+        import numpy as np
+
+        if not bool(res.is_keyframe):
+            return
+        node = _Node(
+            frame_idx=frame_idx,
+            T_emit=np.asarray(res.T_world),
+            gray=np.asarray(gray),
+            mask=np.asarray(mask),
+        )
+        if self.nodes:
+            # Odometry edge: the tracked relative pose IS log(T_i^-1 T_j)
+            # (with_pose composes xi = ref_xi o relative_xi, frame.py).
+            self.e_i.append(len(self.nodes) - 1)
+            self.e_j.append(len(self.nodes))
+            self.e_z.append(np.asarray(res.relative_xi))
+            self.e_w.append(self.W_ODOM)
+            # The outgoing keyframe retired at this promotion: snapshot its
+            # final refined depth/sigma from its ring slot for closure
+            # re-tracking.
+            hist = state.history
+            slot = int((np.asarray(hist.head) - 1) % hist.capacity)
+            prev = self.nodes[-1]
+            prev.depth = np.asarray(hist.depth[slot])
+            prev.sigma = np.asarray(hist.sigma[slot])
+        self.nodes.append(node)
+
+        # BA-window edges: refined consecutive relative poses.
+        if float(res.ba_cost) >= 0.0 and self.cfg.ba.enabled:
+            hist = state.history
+            xi_all = np.asarray(hist.xi)
+            head = int(np.asarray(hist.head))
+            m = min(self.cfg.ba.window, len(self.nodes))
+            for a in range(m - 1):
+                # ages m-1-a (older) and m-2-a within the window
+                s0 = (head - (m - 1 - a)) % hist.capacity
+                s1 = (head - (m - 2 - a)) % hist.capacity
+                n0 = len(self.nodes) - m + a
+                n1 = n0 + 1
+                if n0 < 0:
+                    continue
+                T0 = np.asarray(lie.se3_exp(jnp.asarray(xi_all[s0])))
+                T1 = np.asarray(lie.se3_exp(jnp.asarray(xi_all[s1])))
+                z = np.asarray(lie.se3_log(jnp.asarray(np.linalg.inv(T0) @ T1)))
+                self.e_i.append(n0)
+                self.e_j.append(n1)
+                self.e_z.append(z.astype(np.float32))
+                self.e_w.append(self.W_BA)
+
+    # ------------------------------------------------------------ closures
+
+    def _build_ref_frame(self, node: _Node):
+        """Keyframe Frame at base resolution from the host snapshot +
+        refined depth (depth/sigma are base-level; gray is input-res and is
+        pre-culled on host to match)."""
+        import numpy as np
+        from dvo_tpu.models.frame import build_frame_with_depth
+
+        s = 2 ** self.cfg.pyramid.culls
+        gray = node.gray[::s, ::s]
+        mask = node.mask[::s, ::s]
+        K = np.asarray(self.K, np.float32).copy() / s
+        K[2, 2] = 1.0
+        return build_frame_with_depth(
+            jnp.asarray(gray), jnp.asarray(mask),
+            jnp.asarray(node.depth), jnp.asarray(node.sigma),
+            jnp.asarray(K), self.cfg.pyramid.levels, 0, 0,
+        ), K
+
+    def _mine_closures(self):
+        import numpy as np
+        from dvo_tpu.models.tracker import track
+
+        n = len(self.nodes)
+        if n < 4:
+            return
+        ts = np.stack([nd.T_emit[:3, 3] for nd in self.nodes])
+        Rs = [nd.T_emit[:3, :3] for nd in self.nodes]
+        step = np.linalg.norm(np.diff(ts, axis=0), axis=1)
+        radius = max(2.0 * float(np.median(step)), 1e-3)
+        cands = []
+        for i in range(n):
+            if self.nodes[i].depth is None:
+                continue
+            for j in range(i + 3, n):
+                d = float(np.linalg.norm(ts[i] - ts[j]))
+                if d > radius:
+                    continue
+                ang = np.arccos(
+                    np.clip((np.trace(Rs[i].T @ Rs[j]) - 1) / 2, -1, 1)
+                )
+                if ang > np.deg2rad(45):
+                    continue
+                cands.append((d, i, j))
+        cands.sort()
+        cands = cands[: self.max_closures]
+        if not cands:
+            return
+
+        t_cfg = self.cfg.tracker
+        tracked = jax.jit(
+            lambda o, r: track(o, r, t_cfg), static_argnums=()
+        )
+        for d, i, j in cands:
+            ref_frame, _ = self._build_ref_frame(self.nodes[i])
+            import numpy as np
+            from dvo_tpu.models.frame import build_frame_with_depth
+
+            s = 2 ** self.cfg.pyramid.culls
+            gray_j = self.nodes[j].gray[::s, ::s]
+            mask_j = self.nodes[j].mask[::s, ::s]
+            K = np.asarray(self.K, np.float32).copy() / s
+            K[2, 2] = 1.0
+            # Obj depth is unused by tracking; reuse the ref node's map.
+            obj_frame = build_frame_with_depth(
+                jnp.asarray(gray_j), jnp.asarray(mask_j),
+                jnp.asarray(self.nodes[i].depth),
+                jnp.asarray(self.nodes[i].sigma),
+                jnp.asarray(K), self.cfg.pyramid.levels, 0, 1,
+            )
+            tr = tracked(obj_frame, ref_frame)
+            it = int(np.asarray(tr.iterations)[-1])
+            resid = float(np.asarray(tr.residuals)[-1, max(it - 1, 0)])
+            if not (0.0 <= resid < self.closure_residual):
+                continue
+            self.e_i.append(i)
+            self.e_j.append(j)
+            self.e_z.append(np.asarray(tr.xi))
+            self.e_w.append(self.W_CLOSURE)
+            self.closures += 1
+            if self.verbose:
+                print(f"closure {i}->{j} dist={d:.3f} resid={resid:.4f}")
+
+    # ------------------------------------------------------------ finalize
+
+    def finalize(self, times, poses, state=None,
+                 pg_cfg: PoseGraphConfig = PoseGraphConfig()):
+        """Mine closures, optimize, and return the refined (N, 4, 4)
+        trajectory (the input when fewer than 2 keyframes exist)."""
+        import numpy as np
+
+        if len(self.nodes) < 2:
+            return np.asarray(poses), np.zeros(0, np.float32)
+        # The newest keyframe never retired: snapshot it from the live ring.
+        if state is not None and self.nodes[-1].depth is None:
+            hist = state.history
+            slot = int(np.asarray(hist.head))
+            self.nodes[-1].depth = np.asarray(hist.depth[slot])
+            self.nodes[-1].sigma = np.asarray(hist.sigma[slot])
+        self._mine_closures()
+
+        xi0 = np.stack([
+            np.asarray(lie.se3_log(jnp.asarray(nd.T_emit)))
+            for nd in self.nodes
+        ]).astype(np.float32)
+        edges = PoseGraphEdges(
+            i=jnp.asarray(np.asarray(self.e_i, np.int32)),
+            j=jnp.asarray(np.asarray(self.e_j, np.int32)),
+            z=jnp.asarray(np.stack(self.e_z).astype(np.float32)),
+            weight=jnp.asarray(np.asarray(self.e_w, np.float32)),
+        )
+        xi_ref, costs = optimize_pose_graph(jnp.asarray(xi0), edges, pg_cfg)
+        refined = apply_refinement(
+            times, poses, [nd.frame_idx for nd in self.nodes],
+            np.asarray(xi_ref),
+        )
+        return refined, np.asarray(costs)
+
+
+def apply_refinement(times, poses, kf_frame_idx, kf_xi_refined):
+    """Re-emit a full trajectory after pose-graph refinement: each frame's
+    pose is corrected by its most recent keyframe's correction,
+    T'_f = T'_kf (T_kf^-1 T_f) — relative motion since the keyframe is
+    trusted as tracked.  ``poses``: (N,4,4) original; ``kf_frame_idx``:
+    frame index of each keyframe node; ``kf_xi_refined``: (M,6).
+    Returns (N,4,4)."""
+    import numpy as np
+
+    poses = np.asarray(poses)
+    out = poses.copy()
+    kf_T_new = [np.asarray(lie.se3_exp(jnp.asarray(x))) for x in kf_xi_refined]
+    kf_idx = list(kf_frame_idx)
+    cur = -1
+    for f in range(len(poses)):
+        while cur + 1 < len(kf_idx) and kf_idx[cur + 1] <= f:
+            cur += 1
+        if cur < 0:
+            continue
+        base = kf_idx[cur]
+        corr = kf_T_new[cur] @ np.linalg.inv(poses[base])
+        out[f] = corr @ poses[f]
+    return out

@@ -279,8 +279,9 @@ def track(
     Python-unrolled under jit — levels have distinct static shapes.
 
     ``xi0`` optionally warm-starts the optimization (the reference always
-    starts from identity, tracker.cpp:28; a motion prior is an additive
-    capability used by the pipeline's ``TrackerConfig.warm_start``)."""
+    starts from identity, tracker.cpp:28).  The VO pipeline also starts
+    from identity; callers with a motion prior — e.g. external odometry or
+    a constant-velocity model — may pass it here."""
     xi = jnp.zeros(6, jnp.float32) if xi0 is None else xi0
     res_l, upd_l, cnt_l, iters_l = [], [], [], []
     for level in range(len(ref_frame.scenes)):

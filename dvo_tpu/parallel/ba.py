@@ -24,7 +24,13 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from dvo_tpu import lie
 from dvo_tpu.config import BAConfig
-from dvo_tpu.models.ba import BAResult, BAWindow, _current_window, host_system
+from dvo_tpu.models.ba import (
+    BAResult,
+    BAWindow,
+    _current_window,
+    coupling_dot,
+    host_system,
+)
 
 
 def bundle_adjust_sharded(
@@ -72,10 +78,13 @@ def bundle_adjust_sharded(
             win_cur, T_all = _current_window(win_full, deltas, drho_all)
 
             def host(acc, lk):
-                Hcc, gc, cost, count = acc
+                S_a, g_a, cost, count = acc
                 k = dev * m_loc + lk
-                Hk, gk, bk, hddk, gdk, ck, nk = host_system(win_cur, T_all, k, cfg)
-                return (Hcc + Hk, gc + gk, cost + ck, count + nk), (bk, hddk, gdk)
+                # host_system folds each host's depth elimination into its
+                # own (6M, 6M) Schur contribution — the coupling rows never
+                # leave it (models/ba.py round-3 restructure).
+                Sk, gk, hddk, gdk, ck, nk = host_system(win_cur, T_all, k, cfg)
+                return (S_a + Sk, g_a + gk, cost + ck, count + nk), (hddk, gdk)
 
             acc0 = (
                 jnp.zeros((n, n), jnp.float32),
@@ -83,20 +92,11 @@ def bundle_adjust_sharded(
                 jnp.asarray(0.0, jnp.float32),
                 jnp.asarray(0, jnp.int32),
             )
-            (Hcc, gc, cost, count), (b_loc, hdd_loc, gd_loc) = lax.scan(
+            (S_loc, g_loc, cost, count), (hdd_loc, gd_loc) = lax.scan(
                 host, acc0, jnp.arange(m_loc)
             )
 
-            # Local Schur contribution, then one psum of (6M)^2 + 6M + 2.
-            hdd_inv = 1.0 / (hdd_loc + cfg.depth_damping)
-            S_loc = Hcc - jnp.einsum(
-                "mhwi,mhwj,mhw->ij", b_loc, b_loc, hdd_inv,
-                precision=lax.Precision.HIGHEST,
-            )
-            g_loc = gc - jnp.einsum(
-                "mhwi,mhw,mhw->i", b_loc, gd_loc, hdd_inv,
-                precision=lax.Precision.HIGHEST,
-            )
+            # One psum of (6M)^2 + 6M + 2 over ICI.
             S = lax.psum(S_loc, axis)
             g_red = lax.psum(g_loc, axis)
             cost = lax.psum(cost, axis)
@@ -105,7 +105,14 @@ def bundle_adjust_sharded(
             S = S + cfg.damping * jnp.eye(n, dtype=S.dtype)
             S = S.at[:6, :6].add(jnp.eye(6, dtype=S.dtype))
             dc = -jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(S), g_red)
-            d_drho = -(gd_loc + jnp.einsum("mhwi,i->mhw", b_loc, dc)) * hdd_inv
+            # Back-substitution: recompute each local host's coupling dot
+            # against the replicated dc (no stored rows).
+            hdd_inv = 1.0 / (hdd_loc + cfg.depth_damping)
+            bdot_loc = lax.map(
+                lambda lk: coupling_dot(win_cur, T_all, dev * m_loc + lk, dc, cfg),
+                jnp.arange(m_loc),
+            )
+            d_drho = -(gd_loc + bdot_loc) * hdd_inv
 
             deltas = jax.vmap(lie.compose)(deltas, dc.reshape(m, 6))
             return (deltas, drho_loc + d_drho), (cost, count)

@@ -47,6 +47,10 @@ def main(argv=None):
                     help="BA window size in keyframes (<= history capacity)")
     ap.add_argument("--ba-iters", type=int, default=5,
                     help="BA Gauss-Newton iterations per window")
+    ap.add_argument("--pose-graph", action="store_true",
+                    help="global pose-graph refinement over the keyframe "
+                         "trajectory at sequence end (odometry + BA-window + "
+                         "re-tracked loop-closure constraints; mono mode)")
     ap.add_argument("--plot", default=None,
                     help="write a trajectory PNG (pose trail; the reference's "
                          "glfw-drawer window as an offline plot)")
@@ -172,6 +176,7 @@ def main(argv=None):
                 max_frames=args.max_frames, undistort=not args.no_undistort,
                 verbose=args.verbose, metrics=metrics,
                 checkpoint_out=args.checkpoint, gallery_out=args.gallery,
+                pose_graph=args.pose_graph,
             )
     else:
         with trace_ctx:

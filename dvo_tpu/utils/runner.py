@@ -50,12 +50,16 @@ def run_monocular(
     metrics=None,
     checkpoint_out: Optional[str] = None,
     gallery_out: Optional[str] = None,
+    pose_graph: bool = False,
 ):
     """Monocular VO over a sequence.  Returns (timestamps, poses (N,4,4),
     per-frame seconds).  ``metrics``: utils.metrics.MetricsLogger for JSONL
     per-frame records; ``checkpoint_out``: path to save the final device
     state (utils.checkpoint); ``gallery_out``: PNG path for the final
-    keyframe-ring gallery (the reference's SHOW_KEYFRAME panel)."""
+    keyframe-ring gallery (the reference's SHOW_KEYFRAME panel);
+    ``pose_graph``: harvest odometry/BA/loop-closure constraints during the
+    run and globally refine the keyframe trajectory at sequence end
+    (models/posegraph.py) — the returned poses are then the refined ones."""
     srcmap = build_undistort_map(calib) if undistort and calib.distortion is not None else None
     K = jnp.asarray(calib.K)
     items = list(sequence)[:max_frames]
@@ -63,10 +67,15 @@ def run_monocular(
     state = monocular_init(
         jnp.asarray(gray), jnp.asarray(mask), K, jax.random.PRNGKey(seed), cfg
     )
+    harvester = None
+    if pose_graph:
+        from dvo_tpu.models.posegraph import PoseGraphHarvester
+
+        harvester = PoseGraphHarvester(cfg, np.asarray(calib.K), verbose=verbose)
     poses = [np.eye(4, dtype=np.float32)]
     times = [items[0].timestamp]
     secs = []
-    for item in items[1:]:
+    for fi, item in enumerate(items[1:], start=1):
         gray, mask = _prep_gray(item, calib, srcmap)
         t0 = time.perf_counter()
         state, res = monocular_step(state, jnp.asarray(gray), jnp.asarray(mask), K, cfg)
@@ -74,12 +83,23 @@ def run_monocular(
         secs.append(time.perf_counter() - t0)
         poses.append(np.asarray(res.T_world))
         times.append(item.timestamp)
+        if harvester is not None:
+            harvester.on_frame(fi, res, state, gray, mask)
         if metrics is not None:
             metrics.log_frame(res, secs[-1], item.timestamp)
         if verbose:
             print(
                 f"frame {int(state.frame_count)-1:4d} kf={bool(res.is_keyframe)} "
                 f"acc={int(res.mapping.accepted):5d} {secs[-1]*1e3:7.1f} ms"
+            )
+    pose_arr = np.stack(poses)
+    if harvester is not None:
+        pose_arr, pg_costs = harvester.finalize(np.asarray(times), pose_arr, state)
+        if verbose and pg_costs.size:
+            print(
+                f"pose-graph: {len(harvester.nodes)} nodes, "
+                f"{len(harvester.e_w)} edges ({harvester.closures} closures), "
+                f"cost {pg_costs[0]:.3e} -> {pg_costs[-1]:.3e}"
             )
     if checkpoint_out:
         from dvo_tpu.utils.checkpoint import save_state
@@ -89,7 +109,7 @@ def run_monocular(
         from dvo_tpu.utils.viz import keyframe_gallery, save_png
 
         save_png(gallery_out, keyframe_gallery(state.history))
-    return np.asarray(times), np.stack(poses), np.asarray(secs)
+    return np.asarray(times), pose_arr, np.asarray(secs)
 
 
 def run_rgbd(
