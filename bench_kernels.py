@@ -141,9 +141,13 @@ def main():
             if be == "pallas" and interpret:
                 continue
             cfg_b = TrackerConfig(backend=be)
-            fn = jax.jit(lambda o, r: track(o, r, cfg_b).xi)
-            t = _timeit(lambda: fn(obj, ref), args.reps)
-            iters = cfg_b.max_iterations * levels
+            fn = jax.jit(
+                lambda o, r: (track(o, r, cfg_b).xi,
+                              jnp.sum(track(o, r, cfg_b).iterations))
+            )
+            t = _timeit(lambda: fn(obj, ref)[0], args.reps)
+            # Executed iterations (early-exit aware), not the static cap.
+            iters = int(fn(obj, ref)[1])
             report(f"track_{be}_{tag}", t, backend=backend,
                    gn_iters_per_s=round(iters / t, 1))
             track_ms[tag][be] = t * 1e3
@@ -217,9 +221,10 @@ def main():
         return res.T_world
 
     t_step = _timeit(step, args.reps)
-    # GN work per step: max_iterations per level (convergence is masked, the
-    # program always evaluates every iteration).
-    iters = cfg.tracker.max_iterations * cfg.pyramid.levels
+    # Executed GN iterations per step (the tracker's while_loop exits at
+    # convergence; round 2 multiplied by the static cap here, overcounting).
+    _, res0 = monocular_step(state, jnp.asarray(img2), mask, jnp.asarray(K640), cfg)
+    iters = int(np.asarray(res0.tracking.iterations).sum())
     report("monocular_step_640x480", t_step, backend=backend,
            gn_iters_per_s=round(iters / t_step, 1))
 

@@ -39,6 +39,38 @@ def _prep_gray(item, calib, srcmap):
     return gray.astype(np.float32), mask
 
 
+def _image_stream(paths, scale, srcmap, loaders=()):
+    """Yield (image f32, valid bool) per path, decoding (+undistorting) on
+    the native C++ prefetch threads when ``libdvonative.so`` is available
+    (dvo_tpu.native, reference src/core/loader.cpp's threaded role) so the
+    main thread overlaps decode with device work.  Falls back to the
+    PIL/NumPy path per file otherwise.  ``loaders`` collects the live
+    PrefetchLoader so callers can close it."""
+    try:
+        from dvo_tpu import native
+
+        loader = native.PrefetchLoader(
+            list(paths), scale, map_xy=srcmap, border=0.0, threads=2
+        )
+    except Exception:
+        loader = None
+    if loader is not None:
+        if isinstance(loaders, list):
+            loaders.append(loader)
+        for _idx, img, valid in loader:
+            yield img, valid
+        return
+    from dvo_tpu.utils.datasets import _decode_gray
+
+    for p in paths:
+        img = _decode_gray(p) * scale
+        if srcmap is not None:
+            img, valid = remap_nearest(img, srcmap, border=0.0)
+        else:
+            valid = np.ones_like(img, bool)
+        yield img.astype(np.float32), valid
+
+
 def run_monocular(
     sequence,
     calib: Calibration,
@@ -63,7 +95,11 @@ def run_monocular(
     srcmap = build_undistort_map(calib) if undistort and calib.distortion is not None else None
     K = jnp.asarray(calib.K)
     items = list(sequence)[:max_frames]
-    gray, mask = _prep_gray(items[0], calib, srcmap)
+    loaders: list = []
+    stream = _image_stream(
+        [it.gray_path for it in items], 1 / 255.0, srcmap, loaders=loaders
+    )
+    gray, mask = next(stream)
     state = monocular_init(
         jnp.asarray(gray), jnp.asarray(mask), K, jax.random.PRNGKey(seed), cfg
     )
@@ -76,7 +112,7 @@ def run_monocular(
     times = [items[0].timestamp]
     secs = []
     for fi, item in enumerate(items[1:], start=1):
-        gray, mask = _prep_gray(item, calib, srcmap)
+        gray, mask = next(stream)
         t0 = time.perf_counter()
         state, res = monocular_step(state, jnp.asarray(gray), jnp.asarray(mask), K, cfg)
         device_sync(res.T_world)
@@ -109,6 +145,8 @@ def run_monocular(
         from dvo_tpu.utils.viz import keyframe_gallery, save_png
 
         save_png(gallery_out, keyframe_gallery(state.history))
+    for ld in loaders:
+        ld.close()
     return np.asarray(times), pose_arr, np.asarray(secs)
 
 
@@ -125,15 +163,23 @@ def run_rgbd(
     """RGB-D frame-to-frame tracking (odometrizeUsingDepth mode).  Depth
     pixels with no measurement get sigma 1.0, valid ones ``depth_sigma``
     (transform.cpp:74 convention).  Returns (timestamps, poses, secs)."""
+    from dvo_tpu.utils.datasets import TUM_DEPTH_SCALE
+
     srcmap = build_undistort_map(calib) if undistort and calib.distortion is not None else None
     K = jnp.asarray(calib.K)
     items = list(sequence)[:max_frames]
+    loaders: list = []
+    gray_stream = _image_stream(
+        [it.gray_path for it in items], 1 / 255.0, srcmap, loaders=loaders
+    )
+    depth_stream = _image_stream(
+        [it.depth_path for it in items], 1.0 / TUM_DEPTH_SCALE, srcmap,
+        loaders=loaders,
+    )
 
-    def prep(item):
-        gray, mask = _prep_gray(item, calib, srcmap)
-        depth = load_depth_meters(item.depth_path)
-        if srcmap is not None:
-            depth, dmask = remap_nearest(depth, srcmap, border=0.0)
+    def prep(_item):
+        gray, mask = next(gray_stream)
+        depth, _dmask = next(depth_stream)
         valid = depth > 1e-6
         sigma = np.where(valid, depth_sigma, 1.0).astype(np.float32)
         return gray, mask, depth.astype(np.float32), sigma
@@ -160,6 +206,8 @@ def run_rgbd(
             metrics.log_frame(res, secs[-1], item.timestamp)
         if verbose:
             print(f"frame {int(state.frame_count)-1:4d} {secs[-1]*1e3:7.1f} ms")
+    for ld in loaders:
+        ld.close()
     return np.asarray(times), np.stack(poses), np.asarray(secs)
 
 

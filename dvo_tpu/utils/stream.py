@@ -114,7 +114,27 @@ def run_stream(
     )
     K = jnp.asarray(calib.K)
 
+    # Native decode+remap (dvo_tpu.native) when the .so is available —
+    # streaming yields paths one at a time, so the per-file entry points are
+    # used rather than the batch PrefetchLoader.
+    try:
+        from dvo_tpu import native as _native
+
+        _native.load_library()
+    except Exception:
+        _native = None
+
     def prep(frame):
+        if isinstance(frame, str) and _native is not None:
+            try:
+                gray = _native.decode_png_f32(frame, 1 / 255.0)
+                if srcmap is not None:
+                    gray, mask = _native.remap_nearest(gray, srcmap, border=0.0)
+                else:
+                    mask = np.ones_like(gray, bool)
+                return jnp.asarray(gray), jnp.asarray(mask)
+            except Exception:
+                pass  # non-PNG or decode error -> PIL fallback below
         gray = load_gray_normalized(frame) if isinstance(frame, str) else np.asarray(frame, np.float32)
         if srcmap is not None:
             gray, mask = remap_nearest(gray, srcmap, border=0.0)
