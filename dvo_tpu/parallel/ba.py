@@ -33,6 +33,34 @@ from dvo_tpu.models.ba import (
 )
 
 
+def _pad_window(window: BAWindow, m_pad: int) -> BAWindow:
+    """Pad with dummy keyframes (all-invalid masks) so the keyframe axis
+    divides the mesh.  An all-False mask zeroes every pair term the dummy
+    touches as host (valid &= mask[k]) and as target (samp_ok), so padded
+    entries contribute exactly nothing; their pose blocks are held by the
+    Levenberg ridge and their increments are discarded on slice-back."""
+    import dataclasses
+
+    def pad(arr):
+        reps = jnp.concatenate(
+            [arr, jnp.repeat(arr[-1:], m_pad, axis=0)], axis=0
+        )
+        return reps
+
+    return dataclasses.replace(
+        window,
+        gray=pad(window.gray),
+        mask=jnp.concatenate(
+            [window.mask, jnp.zeros((m_pad,) + window.mask.shape[1:], bool)]
+        ),
+        gx=pad(window.gx), gy=pad(window.gy),
+        gmask=jnp.concatenate(
+            [window.gmask, jnp.zeros((m_pad,) + window.gmask.shape[1:], bool)]
+        ),
+        depth=pad(window.depth), sigma=pad(window.sigma), xi=pad(window.xi),
+    )
+
+
 def bundle_adjust_sharded(
     window: BAWindow,
     cfg: BAConfig,
@@ -40,10 +68,14 @@ def bundle_adjust_sharded(
     axis: str = "kf",
 ) -> BAResult:
     """Distributed ``models.ba.bundle_adjust``: identical math, host
-    keyframes sharded over ``axis``.  Window size must divide the axis."""
-    m, h, w_px = window.gray.shape
+    keyframes sharded over ``axis``.  Windows that do not divide the axis
+    are padded with inert dummy keyframes (see ``_pad_window``) — the
+    north-star window of 7 runs on any mesh."""
+    m_true, h, w_px = window.gray.shape
     n_dev = mesh.shape[axis]
-    assert m % n_dev == 0, f"window {m} not divisible by {n_dev} devices"
+    if m_true % n_dev:
+        window = _pad_window(window, n_dev - m_true % n_dev)
+    m = window.gray.shape[0]
     m_loc = m // n_dev
     n = 6 * m
 
@@ -133,4 +165,6 @@ def bundle_adjust_sharded(
         return xi, depth_loc, costs, counts
 
     xi, depth, costs, counts = run(window, window)
-    return BAResult(xi=xi, depth=depth, costs=costs, counts=counts)
+    # Slice padding back off (inert dummy keyframes, see _pad_window).
+    return BAResult(xi=xi[:m_true], depth=depth[:m_true], costs=costs,
+                    counts=counts)

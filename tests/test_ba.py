@@ -192,6 +192,26 @@ def test_sharded_ba_matches_single_device(rng):
 
 
 @pytest.mark.slow
+def test_sharded_ba_nondivisible_window(rng):
+    """North-star window 7 on a 2-device kf mesh: the sharded path pads
+    with inert dummy keyframes and must match the single-device result."""
+    from dvo_tpu.parallel.ba import bundle_adjust_sharded
+    from dvo_tpu.parallel.mesh import make_mesh
+
+    window, _ = _make_window(rng, m=5, h=32, w=48, pose_noise=0.003)
+    cfg = BAConfig(iterations=2)
+    res1 = bundle_adjust(window, cfg)
+    mesh = make_mesh((2,), ("kf",))
+    res2 = bundle_adjust_sharded(window, cfg, mesh)
+    assert res2.xi.shape == (5, 6)
+    assert res2.depth.shape == (5, 32, 48)
+    np.testing.assert_allclose(np.asarray(res2.xi), np.asarray(res1.xi), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(res2.costs), np.asarray(res1.costs), rtol=5e-3
+    )
+
+
+@pytest.mark.slow
 def test_sharded_ba_two_device_mesh(rng):
     from dvo_tpu.parallel.ba import bundle_adjust_sharded
     from dvo_tpu.parallel.mesh import make_mesh
