@@ -17,6 +17,7 @@ Writes PROBE_r03.json with every measurement.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -26,6 +27,51 @@ import jax.numpy as jnp
 from jax import lax
 
 RESULTS = {}
+_T0 = time.perf_counter()
+_BUDGET_S = float(os.environ.get("DVO_PROBE_BUDGET_S", "480"))
+
+
+class BudgetExceeded(Exception):
+    pass
+
+
+def _watchdog():
+    """Last-resort self-exit if a single compile parks past the budget
+    (tunnel wedge): still better than an external SIGKILL, and it flushes
+    the partial results file first."""
+    import threading
+
+    def run():
+        time.sleep(_BUDGET_S + 120)
+        try:
+            _write_results()
+        except Exception:
+            pass
+        print("watchdog: wedged past budget — self-exiting", flush=True)
+        os._exit(3)
+
+    threading.Thread(target=run, daemon=True).start()
+
+
+def _write_results():
+    merged = {}
+    try:
+        with open("PROBE_r03.json") as f:
+            merged = json.load(f)
+    except Exception:
+        pass
+    merged.update(RESULTS)
+    with open("PROBE_r03.json", "w") as f:
+        json.dump(merged, f, indent=1)
+    print("wrote PROBE_r03.json", flush=True)
+
+
+def _check_budget():
+    """Exit cleanly before any external timeout can SIGKILL us — an
+    abruptly killed client wedges the tunnel's compile service for every
+    later process (observed repeatedly this round)."""
+    if time.perf_counter() - _T0 > _BUDGET_S:
+        raise BudgetExceeded()
 
 
 def _fetch_scalar(r):
@@ -36,6 +82,7 @@ def _fetch_scalar(r):
 
 
 def timed(tag, f, *a, n=3):
+    _check_budget()
     t0 = time.perf_counter()
     _fetch_scalar(f(*a))
     compile_s = time.perf_counter() - t0
@@ -110,14 +157,21 @@ def _track_step(cfg_kwargs, obj, ref):
 
 
 def sec_track():
+    """Variants filtered by DVO_PROBE_FILTER (comma-separated substrings)
+    so one probe invocation fits a bounded wall-clock window."""
+    import os
+
     import __graft_entry__ as g
 
+    filt = [f for f in os.environ.get("DVO_PROBE_FILTER", "").split(",") if f]
     for (h, w, lv, tag) in [(120, 160, 3, "160x120"), (212, 256, 4, "256x212")]:
         obj, ref = g._synthetic_frames(h, w, levels=lv)
         x0 = jnp.zeros((8, 128), jnp.float32)
         for backend in ("xla", "pallas"):
             for ee in (True, False):
                 name = f"track-{tag}-{backend}-ee{int(ee)}"
+                if filt and not any(f in name for f in filt):
+                    continue
                 loop_timed(
                     name,
                     _track_step(dict(backend=backend, early_exit=ee), obj, ref),
@@ -242,18 +296,21 @@ def sec_pipeline():
 def main():
     sections = sys.argv[1:] or ["rtt", "mxu", "track", "map", "reg",
                                 "framebuild", "pipeline"]
+    _watchdog()
     print("devices:", jax.devices(), flush=True)
     fns = {
         "rtt": sec_rtt, "mxu": sec_mxu, "track": sec_track, "map": sec_map,
         "reg": sec_reg, "framebuild": sec_framebuild, "pipeline": sec_pipeline,
     }
-    if "rtt" not in sections:
-        sec_rtt()  # always need the floor
-    for s in sections:
-        fns[s]()
-    with open("PROBE_r03.json", "w") as f:
-        json.dump(RESULTS, f, indent=1)
-    print("wrote PROBE_r03.json", flush=True)
+    try:
+        if "rtt" not in sections:
+            sec_rtt()  # always need the floor
+        for s in sections:
+            fns[s]()
+    except BudgetExceeded:
+        print(f"budget {_BUDGET_S:.0f}s exceeded — exiting cleanly with "
+              "partial results", flush=True)
+    _write_results()
 
 
 if __name__ == "__main__":

@@ -70,11 +70,21 @@ class TrackerConfig:
     # GN linearization backend: "auto" (pallas on TPU, xla elsewhere),
     # "xla" (gather-based, exact reference sampling semantics) or "pallas"
     # (fused VMEM kernel, MXU one-hot sampling with clamp-to-edge borders —
-    # see ops/pallas/gn.py).  Measured on a v5e chip with fetch-synced
-    # timing (bench_probe.py): the fused kernel is ~3x faster at 160x120
-    # and ~5.6x at 256x212 — XLA's gather HLO runs off the vector path and
-    # dominates the gather-based twin.
+    # see ops/pallas/gn.py).  Backed by loop-amortized measurement
+    # (bench_probe2.py -> PROBE_r03.json); round-2's single-dispatch
+    # numbers were swamped by the dev tunnel's ~29 ms RTT and are void.
     backend: str = "auto"
+    # Matmul mode for the Pallas kernel's one-hot sampling contractions:
+    # "high" (default) = 3 bf16 MXU passes — f32-grade samples at half the
+    # cost of HIGHEST; "bf16" = one pass, fastest, but the ~2^-9 sample
+    # quantization measurably biases the CONVERGED pose (the GN optimum of
+    # a quantized photometric cost moves; see
+    # tests/test_pallas.py::test_pallas_gn_bf16_close_to_f32), so it is
+    # opt-in throughput mode, not the default — unlike the epipolar
+    # kernel, whose SSD accept threshold (0.1/window) dwarfs the rounding;
+    # "f32" = HIGHEST (6 passes) for exact-parity tests vs the XLA twin.
+    # Corner-validity thresholds are relaxed to 0.99 under bf16.
+    pallas_precision: str = "high"
 
 
 @dataclasses.dataclass(frozen=True)

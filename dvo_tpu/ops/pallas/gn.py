@@ -58,9 +58,22 @@ def _gn_kernel(
     sigma_hi: float,
     weight_b_only: bool,
     crop: tuple | None,
+    precision_mode: str,
 ):
     bi = pl.program_id(0)
     bh, w = _BLOCK_H, full_w
+    # cfg.pallas_precision: "bf16" -> inputs cast to bf16 by the wrapper,
+    # one MXU pass; "high" -> f32 inputs, 3 passes (f32-grade); "f32" ->
+    # HIGHEST, 6 passes, exact-parity mode.
+    mm_dtype = ref_stack_ref.dtype
+    mm_precision = {
+        "bf16": lax.Precision.DEFAULT,
+        "high": lax.Precision.HIGH,
+        "f32": lax.Precision.HIGHEST,
+    }[precision_mode]
+    # Interpolation weights round at ~1e-3 in bf16; the all-corners-valid
+    # test must leave room for that.
+    mask_thresh = 0.99 if mm_dtype == jnp.bfloat16 else 1.0 - 1e-4
 
     T = [[params_ref[0, 4 * r + c] for c in range(4)] for r in range(4)]
     fx, fy = params_ref[0, 16], params_ref[0, 17]
@@ -116,12 +129,9 @@ def _gn_kernel(
         wx_mat = jnp.where(ww_sub == x0r, 1.0 - fxr, 0.0) + jnp.where(
             ww_sub == x1r, fxr, 0.0
         )                                                       # (Wimg, W)
-        # Full f32 precision: the default bf16 MXU pass would round the
-        # interpolation weights (~1e-3), breaking the corner-validity
-        # thresholds and adding noise to every sample.
         Xs = lax.dot_general(
-            ref_stack_ref[:], wx_mat, (((1,), (0,)), ((), ())),
-            precision=lax.Precision.HIGHEST,
+            ref_stack_ref[:], wx_mat.astype(mm_dtype), (((1,), (0,)), ((), ())),
+            precision=mm_precision,
             preferred_element_type=jnp.float32,
         )  # (5H, W)
         wy_mat = jnp.where(hh_sub == y0r, 1.0 - fyr, 0.0) + jnp.where(
@@ -145,7 +155,7 @@ def _gn_kernel(
     valid = (depth >= min_depth) & in_front
     valid &= obj_mask_ref[:] > 0.5
     valid &= (wx >= 0) & (wx < full_w) & (wy >= 0) & (wy < full_h)
-    valid &= (m2 > 1.0 - 1e-4) & (gm > 1.0 - 1e-4)
+    valid &= (m2 > mask_thresh) & (gm > mask_thresh)
     if crop is not None:
         cx0, cx1, cy0, cy1 = crop
         valid &= (xs >= cx0) & (xs <= cx1) & (ys >= cy0) & (ys <= cy1)
@@ -223,6 +233,10 @@ def gn_terms_pallas(
         ],
         axis=0,
     )
+    if cfg.pallas_precision == "bf16":
+        # Single-pass MXU sampling contractions (config.py note); the f32
+        # mode exists for exact-parity tests against the XLA twin.
+        ref_stack = ref_stack.astype(jnp.bfloat16)
 
     step = cfg.level_steps[min(level_index, len(cfg.level_steps) - 1)]
     params = jnp.concatenate([
@@ -244,6 +258,7 @@ def gn_terms_pallas(
         sigma_hi=cfg.sigma_clamp[1],
         weight_b_only=cfg.compat_weight_b_only,
         crop=crop,
+        precision_mode=cfg.pallas_precision,
     )
 
     row_block = pl.BlockSpec((_BLOCK_H, w), lambda i: (i, 0), memory_space=pltpu.VMEM)

@@ -30,7 +30,7 @@ def _scenes(rng, h=24, w=32):
 
 def test_pallas_gn_matches_xla(rng):
     obj, ref = _scenes(rng)
-    cfg = TrackerConfig()
+    cfg = TrackerConfig(pallas_precision="f32")  # exact-parity mode
     xi = jnp.asarray([0.004, -0.002, 0.001, 0.001, -0.0005, 0.0015], jnp.float32)
     H1, g1, r1, c1 = gn_normal_equations(obj, ref, xi, 0, cfg)
     H2, g2, r2, c2 = gn_terms_pallas(
@@ -44,6 +44,36 @@ def test_pallas_gn_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(H2), np.asarray(H1), rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(float(r2), float(r1), rtol=1e-5)
+
+
+def test_pallas_gn_bf16_close_to_f32(rng):
+    """Precision-mode contract: "high" (the default, 3 MXU passes over f32
+    inputs) matches the exact-parity f32 mode essentially bit-for-bit in
+    interpret mode; "bf16" (one pass over quantized inputs) stays within a
+    few percent on a single GN step — the measured quantization bias that
+    makes it opt-in rather than the default (config.py note)."""
+    from dvo_tpu.models.tracker import gn_solve
+
+    obj, ref = _scenes(rng)
+    xi = jnp.asarray([0.004, -0.002, 0.001, 0.001, -0.0005, 0.0015], jnp.float32)
+    out = {}
+    for prec in ("f32", "high", "bf16"):
+        cfg = TrackerConfig(pallas_precision=prec)
+        H, g, r, c = gn_terms_pallas(
+            obj.gray, obj.mask, ref.depth, ref.sigma,
+            ref.gray, ref.mask, ref.gx, ref.gy, ref.gmask,
+            ref.K, lie.se3_exp(-xi), 0, cfg, interpret=True,
+        )
+        out[prec] = (np.asarray(H), np.asarray(g),
+                     np.asarray(gn_solve(H, g, c, cfg.damping)), int(c))
+    assert out["f32"][3] == out["high"][3] == out["bf16"][3]
+    step_f32 = out["f32"][2]
+    # "high": f32 inputs — interpret mode evaluates it exactly.
+    np.testing.assert_allclose(out["high"][0], out["f32"][0], rtol=1e-5)
+    np.testing.assert_allclose(out["high"][2], step_f32, rtol=1e-4, atol=1e-7)
+    # "bf16": quantized inputs — bounded but visible step deviation.
+    np.testing.assert_allclose(out["bf16"][0], out["f32"][0], rtol=2e-2)
+    assert np.linalg.norm(out["bf16"][2] - step_f32) < 0.08 * np.linalg.norm(step_f32) + 1e-6
 
 
 def test_pallas_epipolar_matches_xla(rng):
