@@ -154,7 +154,9 @@ def bench_e2e_decode(chunk=24, n_chunks=4):
             from dvo_tpu import native
 
             # scale 1.0: keep raw 8-bit values; the device normalizes.
-            loader = native.PrefetchLoader(paths, 1.0, threads=2)
+            loader = native.PrefetchLoader(
+                paths, 1.0, threads=max(2, os.cpu_count() or 2)
+            )
             for _i, img, _v in loader:
                 out_list.append(img.astype(np.uint8))
             loader.close()

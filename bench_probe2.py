@@ -293,6 +293,53 @@ def sec_pipeline():
         RESULTS[f"mono_ms_per_frame_{name}"] = per
 
 
+def sec_phases():
+    """Locate the per-frame device time by differential config degradation:
+    full pipeline vs crippled-tracker (max_iterations=1) vs crippled-march
+    (max_steps=4) vs both.  full - crippled_tracker ~ GN compute;
+    full - crippled_march ~ epipolar march compute; both-crippled ~ fixed
+    overhead (frame build, propagate, regularize, scan/cond dispatch)."""
+    import dataclasses as dc
+
+    import bench
+    from dvo_tpu.config import DVOConfig
+    from dvo_tpu.models.odometry import monocular_init, monocular_run
+
+    frames, K = bench._load_frames(97)
+    H, W = frames[0].shape
+    Kd = jnp.asarray(K)
+    mask = jnp.ones((H, W), bool)
+    rtt = RESULTS.get("rtt-floor", 0.0)
+    base = DVOConfig.monocular()
+
+    variants = {
+        "full": base,
+        "iter1": dc.replace(base, tracker=dc.replace(base.tracker, max_iterations=1)),
+        "march4": dc.replace(base, mapper=dc.replace(base.mapper, max_steps=4)),
+        "iter1march4": dc.replace(
+            base,
+            tracker=dc.replace(base.tracker, max_iterations=1),
+            mapper=dc.replace(base.mapper, max_steps=4),
+        ),
+    }
+    n = 96
+    masks = jnp.ones((n, H, W), bool)
+    dev = jax.device_put(np.stack(frames[1:n + 1]))
+    jax.block_until_ready(dev)
+    for name, cfg in variants.items():
+        state = monocular_init(jnp.asarray(frames[0]), mask, Kd,
+                               jax.random.PRNGKey(0), cfg)
+
+        def prog(s, d):
+            _, res = monocular_run(s, d, masks, Kd, cfg)
+            return jnp.sum(res.T_world)
+
+        t = timed(f"phase-{name}-96f", jax.jit(prog), state, dev)
+        per = (t - rtt) / n
+        print(f"  -> {per:.3f} ms/frame", flush=True)
+        RESULTS[f"phase_ms_per_frame_{name}"] = per
+
+
 def main():
     sections = sys.argv[1:] or ["rtt", "mxu", "track", "map", "reg",
                                 "framebuild", "pipeline"]
@@ -301,6 +348,7 @@ def main():
     fns = {
         "rtt": sec_rtt, "mxu": sec_mxu, "track": sec_track, "map": sec_map,
         "reg": sec_reg, "framebuild": sec_framebuild, "pipeline": sec_pipeline,
+        "phases": sec_phases,
     }
     try:
         if "rtt" not in sections:

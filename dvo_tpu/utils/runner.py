@@ -4,6 +4,7 @@ main.cpp:49-54; we write files so ATE can be evaluated)."""
 
 from __future__ import annotations
 
+import os
 import time
 from typing import List, Optional, Tuple
 
@@ -50,7 +51,8 @@ def _image_stream(paths, scale, srcmap, loaders=()):
         from dvo_tpu import native
 
         loader = native.PrefetchLoader(
-            list(paths), scale, map_xy=srcmap, border=0.0, threads=2
+            list(paths), scale, map_xy=srcmap, border=0.0,
+            threads=max(2, os.cpu_count() or 2),
         )
     except Exception:
         loader = None
