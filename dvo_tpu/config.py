@@ -85,6 +85,15 @@ class TrackerConfig:
     # "f32" = HIGHEST (6 passes) for exact-parity tests vs the XLA twin.
     # Corner-validity thresholds are relaxed to 0.99 under bf16.
     pallas_precision: str = "high"
+    # y-window rows gathered per 8-row block in the Pallas kernel's one-hot
+    # sampling matmul (ops/pallas/gn.py): the matmul costs O(rows * Wimg)
+    # MACs per sampled row, and warped points cluster vertically once the
+    # coarser levels have aligned, so a 32-row window around their mean cuts
+    # the dominant contraction by full_h/32 (3.75x at 160x120, 6.6x at
+    # 256x212).  Points outside the window are invalidated (identical
+    # math, slightly fewer valid pixels for extreme warps).  <= 0 disables
+    # (exact full-image gather, used by parity tests).
+    gather_window: int = 32
 
 
 @dataclasses.dataclass(frozen=True)

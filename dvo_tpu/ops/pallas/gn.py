@@ -50,6 +50,7 @@ def _gn_kernel(
     ref_stack_ref,   # VMEM (5*H, W): gray | mask | gx | gy | gmask
     out_ref,         # VMEM (1, 8, _OUT_W)
     samp_ref,        # VMEM scratch (5*BH, W): sampled channels
+    win_ref,         # VMEM scratch (5*win, W) gather window (dummy if exact)
     *,
     full_h: int,
     full_w: int,
@@ -59,6 +60,7 @@ def _gn_kernel(
     weight_b_only: bool,
     crop: tuple | None,
     precision_mode: str,
+    win: int,        # y-window rows gathered per block (== full_h: exact)
 ):
     bi = pl.program_id(0)
     bh, w = _BLOCK_H, full_w
@@ -98,11 +100,42 @@ def _gn_kernel(
     wy = fy * Yj / safe_zj + cy
 
     ww_sub = lax.broadcasted_iota(jnp.int32, (full_w, w), 0)   # img-x along sublanes
-    hh_sub = lax.broadcasted_iota(jnp.int32, (full_h, w), 0)   # img-y along sublanes
+    hh_sub = lax.broadcasted_iota(jnp.int32, (win, w), 0)      # window-y / sublanes
+
+    # --- y-window selection (win < full_h): the one-hot gather matmul costs
+    # O(rows_gathered * Wimg) MACs per sampled row, and a block's warped
+    # points cluster vertically (inter-frame motion is small once coarser
+    # levels have aligned), so gathering a `win`-row window around their
+    # mean instead of the full image cuts the dominant matmul by
+    # full_h / win.  Points outside the window sample a zero mask channel
+    # and are invalidated — identical results, slightly fewer valid pixels
+    # for extreme warps (win == full_h is exact). ---
+    if win < full_h:
+        geo_ok = (
+            (depth >= min_depth) & in_front
+            & (wx >= 0) & (wx < full_w) & (wy >= 0) & (wy < full_h)
+        ).astype(jnp.float32)
+        wy_cl = jnp.clip(wy, 0.0, full_h - 1.0)
+        denom = jnp.maximum(jnp.sum(geo_ok), 1.0)
+        y_mean = jnp.sum(wy_cl * geo_ok) / denom
+        y0_blk = jnp.clip(
+            jnp.round(y_mean).astype(jnp.int32) - win // 2, 0, full_h - win
+        )
+    else:
+        y0_blk = jnp.int32(0)
+
+    if win < full_h:
+        for c in range(5):
+            win_ref[c * win : (c + 1) * win, :] = ref_stack_ref[
+                pl.ds(c * full_h + y0_blk, win), :
+            ]
+        gather_src = win_ref
+    else:
+        gather_src = ref_stack_ref
 
     # Per block row: one matmul x-interpolates all 5 channels, a masked
     # sublane reduction y-interpolates.  A fori_loop (not unrolled Python)
-    # keeps only one row's (Wimg, W)/(5H, W) temporaries live — the unrolled
+    # keeps only one row's (Wimg, W) temporaries live — the unrolled
     # form blows the 16 MB VMEM budget at 424x512.
     def sample_row(row, _):
         # Recompute this row's warp from the depth ref (refs support dynamic
@@ -130,15 +163,18 @@ def _gn_kernel(
             ww_sub == x1r, fxr, 0.0
         )                                                       # (Wimg, W)
         Xs = lax.dot_general(
-            ref_stack_ref[:], wx_mat.astype(mm_dtype), (((1,), (0,)), ((), ())),
+            gather_src[:], wx_mat.astype(mm_dtype), (((1,), (0,)), ((), ())),
             precision=mm_precision,
             preferred_element_type=jnp.float32,
-        )  # (5H, W)
-        wy_mat = jnp.where(hh_sub == y0r, 1.0 - fyr, 0.0) + jnp.where(
-            hh_sub == y1r, fyr, 0.0
-        )                                                       # (H, W)
+        )  # (5*win, W)
+        # y one-hots in window coordinates (y0_blk == 0 when win == full_h).
+        y0w = y0r - y0_blk
+        y1w = y1r - y0_blk
+        wy_mat = jnp.where(hh_sub == y0w, 1.0 - fyr, 0.0) + jnp.where(
+            hh_sub == y1w, fyr, 0.0
+        )                                                       # (win, W)
         for c in range(5):
-            Xc = Xs[c * full_h : (c + 1) * full_h]              # (H, W)
+            Xc = Xs[c * win : (c + 1) * win]                    # (win, W)
             samp_ref[pl.ds(c * bh + row, 1), :] = jnp.sum(
                 wy_mat * Xc, axis=0, keepdims=True
             )
@@ -155,6 +191,11 @@ def _gn_kernel(
     valid = (depth >= min_depth) & in_front
     valid &= obj_mask_ref[:] > 0.5
     valid &= (wx >= 0) & (wx < full_w) & (wy >= 0) & (wy < full_h)
+    if win < full_h:
+        # Both y corners must sit inside the gathered window (a partially
+        # covered sample could sneak past the mask threshold at tiny fy).
+        y0b = jnp.clip(jnp.floor(wy).astype(jnp.int32), 0, full_h - 1)
+        valid &= (y0b >= y0_blk) & (y0b + 1 <= y0_blk + win - 1)
     valid &= (m2 > mask_thresh) & (gm > mask_thresh)
     if crop is not None:
         cx0, cx1, cy0, cy1 = crop
@@ -249,6 +290,10 @@ def gn_terms_pallas(
         crop = (float(cfg.crop_x[0]), float(cfg.crop_x[1]),
                 float(cfg.crop_y[0]), float(cfg.crop_y[1]))
 
+    # y-window size for the gather matmul (kernel docstring): exact full-H
+    # gather when disabled or when the image is already small.
+    win = cfg.gather_window if 0 < cfg.gather_window < h else h
+
     kernel = functools.partial(
         _gn_kernel,
         full_h=h,
@@ -259,6 +304,7 @@ def gn_terms_pallas(
         weight_b_only=cfg.compat_weight_b_only,
         crop=crop,
         precision_mode=cfg.pallas_precision,
+        win=win,
     )
 
     row_block = pl.BlockSpec((_BLOCK_H, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -276,7 +322,13 @@ def gn_terms_pallas(
             (1, 8, _OUT_W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_blocks, 8, _OUT_W), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((5 * _BLOCK_H, w), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((5 * _BLOCK_H, w), jnp.float32),
+            # Gather-window scratch; token-sized when the exact full-H
+            # gather is in use (win == h) and the kernel reads ref_stack
+            # directly.
+            pltpu.VMEM((5 * win if win < h else 8, w), ref_stack.dtype),
+        ],
         # The replicated ref stack (5H x W) is double-buffered by the
         # pipeline; at Kinect resolution that plus the one-hot temporaries
         # exceeds the default 16 MB scoped budget — raise it (v5e has

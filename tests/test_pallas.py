@@ -76,6 +76,27 @@ def test_pallas_gn_bf16_close_to_f32(rng):
     assert np.linalg.norm(out["bf16"][2] - step_f32) < 0.08 * np.linalg.norm(step_f32) + 1e-6
 
 
+def test_pallas_gn_windowed_gather_matches_exact(rng):
+    """gather_window=32 at a 64-row image: with a small warp every point's
+    corners fall inside the mean-centred window, so the windowed gather
+    must reproduce the exact full-image gather bit-for-bit."""
+    obj, ref = _scenes(rng, h=64, w=32)
+    xi = jnp.asarray([0.004, -0.002, 0.001, 0.001, -0.0005, 0.0015], jnp.float32)
+    out = {}
+    for gw in (0, 32):
+        cfg = TrackerConfig(pallas_precision="f32", gather_window=gw)
+        out[gw] = gn_terms_pallas(
+            obj.gray, obj.mask, ref.depth, ref.sigma,
+            ref.gray, ref.mask, ref.gx, ref.gy, ref.gmask,
+            ref.K, lie.se3_exp(-xi), 0, cfg, interpret=True,
+        )
+    assert int(out[0][3]) == int(out[32][3])
+    np.testing.assert_allclose(np.asarray(out[32][0]), np.asarray(out[0][0]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[32][1]), np.asarray(out[0][1]),
+                               rtol=1e-6)
+
+
 def test_pallas_epipolar_matches_xla(rng):
     """depth_update vs depth_update_pallas (interpret mode): identical
     depth/sigma/age maps and stats given the same PRNG key.  Uses the
