@@ -158,6 +158,15 @@ class MapperConfig:
     # while "f32" keeps HIGHEST-precision parity with the XLA twin (6 MXU
     # passes per matmul, ~6x slower; used by the parity tests).
     pallas_precision: str = "bf16"
+    # y-window rows gathered per row-block in the Pallas march kernel's
+    # one-hot sampling matmuls (ops/pallas/epipolar.py): the epipolar
+    # segments of one row cluster vertically, so gathering a window around
+    # their y-extent instead of every born-keyframe row cuts the dominant
+    # contraction by full_h/window (2.5x at 120x160 with 48).  Samples
+    # outside the window are invalidated, which can only trim the deepest
+    # search hypotheses of unusually steep segments.  <= 0 disables (exact
+    # full-image gather, used by parity tests).
+    gather_window: int = 48
 
 
 @dataclasses.dataclass(frozen=True)

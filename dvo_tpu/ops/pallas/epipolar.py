@@ -21,12 +21,16 @@ triangulation coefficients) are precomputed by XLA in
 ``models.mapper.depth_update_pallas`` — they are cheap dense math; the
 kernel owns the gather-bound march.
 
-Honest performance note: this hot loop is gather-bound, not FLOP-bound.
-The one-hot-matmul gather costs O(C*H*Wimg) MACs per sampled row of points,
-so at the reference's 120x160 mapping resolution the XLA twin's native
-gather lowering is faster (see bench_kernels.py); the XLA path stays the
-default and this kernel is the parity-tested Pallas implementation of the
-north star's "hot loop #2 + depth-filter fusion" requirement.
+Performance status (round 3, device-side measurement): this kernel IS the
+TPU default (config.resolve_backend).  Round 2 left two contradictory
+claims in the repo because its timings were taken per-dispatch through a
+tunnel with a ~29 ms RTT floor — worthless for ops this small.  The
+round-3 probe (bench_probe2.py / PROBE_r03.json; single-dispatch floor
+already visible in the round-2-era probe rerun) puts the XLA twin's
+120x160 depth update at ~85 ms on device — its per-pixel gathers lower to
+scalar-core loops — while this fused kernel's one-hot-matmul march runs
+the same update in low single-digit ms on the MXU.  The XLA twin remains
+the exact-reference-semantics oracle for parity tests and the CPU path.
 """
 
 from __future__ import annotations
@@ -61,15 +65,18 @@ def _epipolar_kernel(
     sigma_out,      # VMEM (BH, W)
     age_out,        # VMEM (BH, W) f32
     stats_out,      # VMEM (1, 8, _STATS_W); row 0: observed|accepted|rejected
+    win_ref,        # VMEM scratch (4*C*win, W); dummy when win == full_h
     *,
     capacity: int,
     full_h: int,
     full_w: int,
     steps: int,     # S: window count (match offsets 1..S; S+2 samples)
+    win: int,       # y-window rows gathered per row (== full_h: exact)
     cfg: MapperConfig,
 ):
     bh, w = _BLOCK_H, full_w
     ch = capacity * full_h
+    cwin = capacity * win
     big = jnp.float32(2.0 * cfg.ssd_window)
     # Matmul mode follows the born stack's dtype (set by the wrapper from
     # cfg.pallas_precision): bf16 = one MXU pass per contraction, f32 =
@@ -80,9 +87,9 @@ def _epipolar_kernel(
     )
 
     ww_sub = lax.broadcasted_iota(jnp.int32, (full_w, w), 0)   # img-x / sublane
-    hh_sub = lax.broadcasted_iota(jnp.int32, (ch, w), 0)
-    y_sub = hh_sub % full_h                                    # img-y within slot
-    c_sub = hh_sub // full_h                                   # ring slot id
+    hw_sub = lax.broadcasted_iota(jnp.int32, (cwin, w), 0)
+    yw_sub = hw_sub % win                                      # window-y in slot
+    c_sub = hw_sub // win                                      # ring slot id
 
     # Data-dependent zero rows: constant-folded zeros get a replicated
     # Mosaic layout that cannot relayout back at the fori boundary.
@@ -99,12 +106,38 @@ def _epipolar_kernel(
         length = f(F_LENGTH)
         obj_v = f(F_OBJ_VAL)
         slot = f(F_SLOT).astype(jnp.int32)
-        slot_mask = (c_sub == slot).astype(jnp.float32)        # (CH, W)
+        slot_mask = (c_sub == slot).astype(jnp.float32)        # (C*win, W)
+
+        # ---- y-window for this row's segments (config.py gather_window):
+        # cover [min endpoint y - 1, ...] of the valid segments; samples
+        # past the window top are invalidated (only unusually steep
+        # segments' deepest hypotheses).  win == full_h: y0 = 0, exact. ----
+        base_ok = f(F_BASE_OK) > 0.5
+        if win < full_h:
+            ey = sy + length * dy
+            seg_ymin = jnp.min(
+                jnp.where(base_ok, jnp.minimum(sy, ey), jnp.float32(full_h))
+            )
+            y0_row = jnp.clip(
+                jnp.floor(seg_ymin).astype(jnp.int32) - 1, 0, full_h - win
+            )
+            for k in range(4):
+                for c in range(capacity):
+                    win_ref[
+                        pl.ds((k * capacity + c) * win, win), :
+                    ] = born_ref[pl.ds(k * ch + c * full_h + y0_row, win), :]
+            gray_src = win_ref.at[pl.ds(0, cwin), :]
+            grad_src = win_ref.at[pl.ds(cwin, 3 * cwin), :]
+        else:
+            y0_row = jnp.int32(0)
+            gray_src = born_ref.at[pl.ds(0, ch), :]
+            grad_src = born_ref.at[pl.ds(ch, 3 * ch), :]
 
         def sample_gray(px, py):
             """Bilinear sample of the per-pixel born image (XLA twin
             semantics: clamped corners fall back onto the base corner,
-            valid iff the floor corner is in bounds)."""
+            valid iff the floor corner is in bounds — and, in windowed
+            mode, inside the gathered y-window)."""
             x0f = jnp.floor(px)
             y0f = jnp.floor(py)
             fx = px - x0f
@@ -112,21 +145,23 @@ def _epipolar_kernel(
             x0 = x0f.astype(jnp.int32)
             y0 = y0f.astype(jnp.int32)
             ok = (x0 >= 0) & (x0 < full_w) & (y0 >= 0) & (y0 < full_h)
+            if win < full_h:
+                ok &= (y0 >= y0_row) & (y0 + 1 <= y0_row + win - 1)
             x0c = jnp.clip(x0, 0, full_w - 1)
             x1c = jnp.clip(x0 + 1, 0, full_w - 1)
-            y0c = jnp.clip(y0, 0, full_h - 1)
-            y1c = jnp.clip(y0 + 1, 0, full_h - 1)
+            y0c = jnp.clip(y0, 0, full_h - 1) - y0_row          # window-rel
+            y1c = jnp.clip(y0 + 1, 0, full_h - 1) - y0_row
             wx = jnp.where(ww_sub == x0c, 1.0 - fx, 0.0) + jnp.where(
                 ww_sub == x1c, fx, 0.0
             )                                                   # (Wimg, W)
             xs = lax.dot_general(
-                born_ref[0:ch, :], wx.astype(mm_dtype), (((1,), (0,)), ((), ())),
+                gray_src[...], wx.astype(mm_dtype), (((1,), (0,)), ((), ())),
                 precision=mm_precision,
                 preferred_element_type=jnp.float32,
-            )                                                   # (CH, W)
+            )                                                   # (C*win, W)
             wy = (
-                jnp.where(y_sub == y0c, 1.0 - fy, 0.0)
-                + jnp.where(y_sub == y1c, fy, 0.0)
+                jnp.where(yw_sub == y0c, 1.0 - fy, 0.0)
+                + jnp.where(yw_sub == y1c, fy, 0.0)
             ) * slot_mask
             v = jnp.sum(wy * xs, axis=0, keepdims=True)         # (1, W)
             return v, ok
@@ -176,18 +211,20 @@ def _epipolar_kernel(
         bxi = jnp.rint(mx).astype(jnp.int32)
         byi = jnp.rint(my).astype(jnp.int32)
         g_in = (bxi >= 0) & (bxi < full_w) & (byi >= 0) & (byi < full_h)
+        if win < full_h:
+            g_in &= (byi >= y0_row) & (byi <= y0_row + win - 1)
         bxc = jnp.clip(bxi, 0, full_w - 1)
-        byc = jnp.clip(byi, 0, full_h - 1)
+        byc = jnp.clip(byi, 0, full_h - 1) - y0_row             # window-rel
         wxg = jnp.where(ww_sub == bxc, 1.0, 0.0)               # (Wimg, W)
         xg = lax.dot_general(
-            born_ref[ch : 4 * ch, :], wxg.astype(mm_dtype), (((1,), (0,)), ((), ())),
+            grad_src[...], wxg.astype(mm_dtype), (((1,), (0,)), ((), ())),
             precision=mm_precision,
             preferred_element_type=jnp.float32,
-        )                                                       # (3CH, W)
-        wyg = jnp.where(y_sub == byc, 1.0, 0.0) * slot_mask
-        gxv = jnp.sum(wyg * xg[0:ch], axis=0, keepdims=True)
-        gyv = jnp.sum(wyg * xg[ch : 2 * ch], axis=0, keepdims=True)
-        gmv = jnp.sum(wyg * xg[2 * ch : 3 * ch], axis=0, keepdims=True)
+        )                                                       # (3*C*win, W)
+        wyg = jnp.where(yw_sub == byc, 1.0, 0.0) * slot_mask
+        gxv = jnp.sum(wyg * xg[0:cwin], axis=0, keepdims=True)
+        gyv = jnp.sum(wyg * xg[cwin : 2 * cwin], axis=0, keepdims=True)
+        gmv = jnp.sum(wyg * xg[2 * cwin : 3 * cwin], axis=0, keepdims=True)
         g_ok = g_in & (gmv > 0.5)
 
         # ---- triangulation (implement.cpp:49-71; coefficients precomputed) ----
@@ -286,6 +323,9 @@ def epipolar_update_pallas(
         fields = jnp.pad(fields, ((0, 0), (0, pad), (0, 0)))
     n_blocks = (h + pad) // _BLOCK_H
 
+    # y-window for the march's gather matmuls (config.py gather_window).
+    win = cfg.gather_window if 0 < cfg.gather_window < h else h
+
     kernel = functools.partial(
         _epipolar_kernel,
         capacity=c,
@@ -294,6 +334,7 @@ def epipolar_update_pallas(
         # March length matches the XLA twin: max_steps + 2 window positions
         # (models/mapper.py depth_update's S), sampled at offsets 0..S+1.
         steps=cfg.max_steps + 2,
+        win=win,
         cfg=cfg,
     )
     depth, sigma, age_f, stats = pl.pallas_call(
@@ -319,6 +360,13 @@ def epipolar_update_pallas(
             jax.ShapeDtypeStruct((h + pad, w), jnp.float32),
             jax.ShapeDtypeStruct((h + pad, w), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks, 8, _STATS_W), jnp.float32),
+        ],
+        scratch_shapes=[
+            # Gather-window scratch (4 channel groups x C slots x win rows);
+            # token-sized in exact mode (win == h, kernel reads born_ref).
+            pltpu.VMEM(
+                (4 * c * win if win < h else 8, w), born_stack.dtype
+            ),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024

@@ -156,6 +156,47 @@ def test_pallas_epipolar_matches_xla(rng):
     assert close.mean() > 0.9, close.mean()
 
 
+def test_pallas_epipolar_windowed_gather_matches_exact(rng):
+    """MapperConfig.gather_window=48 at a 64-row image: the lateral-motion
+    epipolar segments fit the per-row window, so the windowed march must
+    match the exact full-image gather."""
+    import jax as _jax
+
+    from dvo_tpu.config import MapperConfig
+    from dvo_tpu.models.history import KeyframeHistory, push
+    from dvo_tpu.models.mapper import depth_update_pallas
+
+    from test_mapper import _single_kf_setup
+
+    h, w = 64, 64
+    ref_img, true_depth, K, xi, obj_img, obj_mask, mk = _single_kf_setup(rng, h, w)
+    ref_frame = mk(ref_img, np.ones((h, w), bool), true_depth,
+                   np.full((h, w), 0.5, np.float32), 0)
+    history = push(KeyframeHistory.create(4, h, w), ref_frame)
+    noisy = np.clip(rng.normal(1.7, 0.4, (h, w)), 0.5, None).astype(np.float32)
+    sigma0 = np.full((h, w), 0.5, np.float32)
+    obj_frame = mk(obj_img, obj_mask, true_depth, sigma0, 1)
+    age = jnp.zeros((h, w), jnp.int32)
+    key = _jax.random.PRNGKey(5)
+    out = {}
+    for gw in (0, 48):
+        cfg = MapperConfig(
+            crop_x=(6, w - 8), crop_y=(5, h - 6), max_steps=40,
+            luminance_sigma=0.25, epipolar_sigma=0.25,
+            pallas_precision="f32", gather_window=gw,
+        )
+        out[gw] = depth_update_pallas(
+            obj_frame.scenes[0], jnp.asarray(xi), jnp.asarray(xi),
+            jnp.asarray(noisy), jnp.asarray(sigma0), age, history, key, cfg,
+            interpret=True,
+        )
+    d0, s0, a0, st0 = out[0]
+    d1, s1, a1, st1 = out[48]
+    assert int(st0.observed) == int(st1.observed) > 100
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-5)
+
+
 def test_pallas_backend_track(rng):
     """Full coarse-to-fine track with backend='pallas' converges to the same
     twist as the XLA backend."""
