@@ -36,12 +36,30 @@ runs chunk k).
 
 import json
 import os
+import sys
 import threading
 import time
 
 import numpy as np
 
 from dvo_tpu.utils.metrics import device_sync
+
+
+def _enable_compile_cache():
+    """Persistent compilation cache: the bench compiles several large
+    scanned programs (mono chain, RGB-D chain, 8-stream batched); caching
+    them on disk makes repeat runs start in seconds."""
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def _progress(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 REFERENCE_FPS = 5.0  # 200 ms/frame tracking budget, tracker.cpp:18
 
@@ -340,11 +358,17 @@ def _rtt_ms():
 
 
 def main():
+    _enable_compile_cache()
     rtt = _rtt_ms()
+    _progress(f"rtt {rtt:.1f} ms; running monocular")
     mono_fps, gn_iters_per_s, backend = bench_monocular()
+    _progress(f"mono {mono_fps:.1f} fps; running rgbd")
     rgbd_fps = bench_rgbd()
+    _progress(f"rgbd {rgbd_fps:.1f} fps; running batched")
     batched_fps, streams = bench_batched()
+    _progress(f"batched {batched_fps:.1f} agg fps; running e2e decode")
     e2e = bench_e2e_decode()
+    _progress("done")
     extra = {
         "rgbd_tracking_fps_512x424_real": round(rgbd_fps, 2),
         "gn_iters_per_s_executed": round(gn_iters_per_s, 1),

@@ -71,11 +71,14 @@ def _epipolar_kernel(
     full_h: int,
     full_w: int,
     steps: int,     # S: window count (match offsets 1..S; S+2 samples)
-    win: int,       # y-window rows gathered per row (== full_h: exact)
+    win: int,       # y-window rows gathered per row (== h_pad: exact)
+    h_pad: int,     # per-slot row stride in born_ref (full_h rounded up to
+                    # 8 so every slot's static offset is sublane-aligned
+                    # for Mosaic; pad rows are zero => gmask invalid)
     cfg: MapperConfig,
 ):
     bh, w = _BLOCK_H, full_w
-    ch = capacity * full_h
+    ch = capacity * h_pad
     cwin = capacity * win
     big = jnp.float32(2.0 * cfg.ssd_window)
     # Matmul mode follows the born stack's dtype (set by the wrapper from
@@ -113,7 +116,7 @@ def _epipolar_kernel(
         # past the window top are invalidated (only unusually steep
         # segments' deepest hypotheses).  win == full_h: y0 = 0, exact. ----
         base_ok = f(F_BASE_OK) > 0.5
-        if win < full_h:
+        if win < h_pad:
             ey = sy + length * dy
             seg_ymin = jnp.min(
                 jnp.where(base_ok, jnp.minimum(sy, ey), jnp.float32(full_h))
@@ -121,11 +124,15 @@ def _epipolar_kernel(
             y0_row = jnp.clip(
                 jnp.floor(seg_ymin).astype(jnp.int32) - 1, 0, full_h - win
             )
+            # Mosaic requires dynamic sublane offsets provably 8-aligned;
+            # round down (window start only moves earlier, and samples past
+            # the window top are gated invalid below).
+            y0_row = pl.multiple_of((y0_row // 8) * 8, 8)
             for k in range(4):
                 for c in range(capacity):
                     win_ref[
                         pl.ds((k * capacity + c) * win, win), :
-                    ] = born_ref[pl.ds(k * ch + c * full_h + y0_row, win), :]
+                    ] = born_ref[pl.ds(k * ch + c * h_pad + y0_row, win), :]
             gray_src = win_ref.at[pl.ds(0, cwin), :]
             grad_src = win_ref.at[pl.ds(cwin, 3 * cwin), :]
         else:
@@ -145,7 +152,7 @@ def _epipolar_kernel(
             x0 = x0f.astype(jnp.int32)
             y0 = y0f.astype(jnp.int32)
             ok = (x0 >= 0) & (x0 < full_w) & (y0 >= 0) & (y0 < full_h)
-            if win < full_h:
+            if win < h_pad:
                 ok &= (y0 >= y0_row) & (y0 + 1 <= y0_row + win - 1)
             x0c = jnp.clip(x0, 0, full_w - 1)
             x1c = jnp.clip(x0 + 1, 0, full_w - 1)
@@ -211,7 +218,7 @@ def _epipolar_kernel(
         bxi = jnp.rint(mx).astype(jnp.int32)
         byi = jnp.rint(my).astype(jnp.int32)
         g_in = (bxi >= 0) & (bxi < full_w) & (byi >= 0) & (byi < full_h)
-        if win < full_h:
+        if win < h_pad:
             g_in &= (byi >= y0_row) & (byi <= y0_row + win - 1)
         bxc = jnp.clip(bxi, 0, full_w - 1)
         byc = jnp.clip(byi, 0, full_h - 1) - y0_row             # window-rel
@@ -323,8 +330,24 @@ def epipolar_update_pallas(
         fields = jnp.pad(fields, ((0, 0), (0, pad), (0, 0)))
     n_blocks = (h + pad) // _BLOCK_H
 
-    # y-window for the march's gather matmuls (config.py gather_window).
-    win = cfg.gather_window if 0 < cfg.gather_window < h else h
+    # Per-slot rows round up to 8 (h8) so every slot's static offset in the
+    # born stack is sublane-aligned for Mosaic's dynamic window slice; pad
+    # rows are zero (gmask invalid), so samples touching them are gated.
+    h8 = h + ((-h) % 8)
+    if h8 != h:
+        born_stack = jnp.pad(
+            born_stack.reshape(4 * c, h, w), ((0, 0), (0, h8 - h), (0, 0))
+        ).reshape(4 * c * h8, w)
+
+    # y-window for the march's gather matmuls (config.py gather_window),
+    # rounded up to a multiple of 8 so scratch copy destinations stay
+    # sublane-aligned.
+    if 0 < cfg.gather_window < h:
+        win = cfg.gather_window + ((-cfg.gather_window) % 8)
+        if win >= h8:
+            win = h8
+    else:
+        win = h8
 
     kernel = functools.partial(
         _epipolar_kernel,
@@ -335,6 +358,7 @@ def epipolar_update_pallas(
         # (models/mapper.py depth_update's S), sampled at offsets 0..S+1.
         steps=cfg.max_steps + 2,
         win=win,
+        h_pad=h8,
         cfg=cfg,
     )
     depth, sigma, age_f, stats = pl.pallas_call(
@@ -345,7 +369,7 @@ def epipolar_update_pallas(
                 (N_FIELDS, _BLOCK_H, w), lambda i: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((4 * c * h, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * c * h8, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((_BLOCK_H, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -363,9 +387,9 @@ def epipolar_update_pallas(
         ],
         scratch_shapes=[
             # Gather-window scratch (4 channel groups x C slots x win rows);
-            # token-sized in exact mode (win == h, kernel reads born_ref).
+            # token-sized in exact mode (win == h8, kernel reads born_ref).
             pltpu.VMEM(
-                (4 * c * win if win < h else 8, w), born_stack.dtype
+                (4 * c * win if win < h8 else 8, w), born_stack.dtype
             ),
         ],
         compiler_params=pltpu.CompilerParams(

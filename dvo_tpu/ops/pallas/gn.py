@@ -60,19 +60,49 @@ def _gn_kernel(
     weight_b_only: bool,
     crop: tuple | None,
     precision_mode: str,
-    win: int,        # y-window rows gathered per block (== full_h: exact)
+    win: int,        # y-window rows gathered per block (== h_pad: exact)
+    h_pad: int,      # per-channel row stride in ref_stack (full_h rounded
+                     # up to 8 so every channel's static offset is
+                     # sublane-aligned for Mosaic; pad rows are zero)
 ):
     bi = pl.program_id(0)
     bh, w = _BLOCK_H, full_w
     # cfg.pallas_precision: "bf16" -> inputs cast to bf16 by the wrapper,
-    # one MXU pass; "high" -> f32 inputs, 3 passes (f32-grade); "f32" ->
-    # HIGHEST, 6 passes, exact-parity mode.
+    # one MXU pass; "high" -> f32 inputs, manual 3-pass bf16x3 split
+    # (hi.hi + hi.lo + lo.hi, f32 accumulate — Mosaic's dot lowering has no
+    # Precision.HIGH, so the split is spelled out); "f32" -> HIGHEST,
+    # 6 passes, exact-parity mode.
     mm_dtype = ref_stack_ref.dtype
-    mm_precision = {
-        "bf16": lax.Precision.DEFAULT,
-        "high": lax.Precision.HIGH,
-        "f32": lax.Precision.HIGHEST,
-    }[precision_mode]
+    _dims = (((1,), (0,)), ((), ()))
+
+    if precision_mode == "high":
+
+        def mm_dot(a, b):
+            a32, b32 = a.astype(jnp.float32), b.astype(jnp.float32)
+            a_hi = a32.astype(jnp.bfloat16)
+            b_hi = b32.astype(jnp.bfloat16)
+            a_lo = (a32 - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            b_lo = (b32 - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def dot(x, y):
+                return lax.dot_general(
+                    x, y, _dims, precision=lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32,
+                )
+
+            return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+
+    else:
+        _prec = (
+            lax.Precision.DEFAULT if precision_mode == "bf16"
+            else lax.Precision.HIGHEST
+        )
+
+        def mm_dot(a, b):
+            return lax.dot_general(
+                a, b, _dims, precision=_prec,
+                preferred_element_type=jnp.float32,
+            )
     # Interpolation weights round at ~1e-3 in bf16; the all-corners-valid
     # test must leave room for that.
     mask_thresh = 0.99 if mm_dtype == jnp.bfloat16 else 1.0 - 1e-4
@@ -110,7 +140,7 @@ def _gn_kernel(
     # full_h / win.  Points outside the window sample a zero mask channel
     # and are invalidated — identical results, slightly fewer valid pixels
     # for extreme warps (win == full_h is exact). ---
-    if win < full_h:
+    if win < h_pad:
         geo_ok = (
             (depth >= min_depth) & in_front
             & (wx >= 0) & (wx < full_w) & (wy >= 0) & (wy < full_h)
@@ -121,13 +151,17 @@ def _gn_kernel(
         y0_blk = jnp.clip(
             jnp.round(y_mean).astype(jnp.int32) - win // 2, 0, full_h - win
         )
+        # Mosaic requires dynamic sublane offsets provably 8-aligned; round
+        # down (window shifts <= 7 rows; out-of-window samples are already
+        # invalidated by the validity gate below).
+        y0_blk = pl.multiple_of((y0_blk // 8) * 8, 8)
     else:
         y0_blk = jnp.int32(0)
 
-    if win < full_h:
+    if win < h_pad:
         for c in range(5):
             win_ref[c * win : (c + 1) * win, :] = ref_stack_ref[
-                pl.ds(c * full_h + y0_blk, win), :
+                pl.ds(c * h_pad + y0_blk, win), :
             ]
         gather_src = win_ref
     else:
@@ -162,11 +196,7 @@ def _gn_kernel(
         wx_mat = jnp.where(ww_sub == x0r, 1.0 - fxr, 0.0) + jnp.where(
             ww_sub == x1r, fxr, 0.0
         )                                                       # (Wimg, W)
-        Xs = lax.dot_general(
-            gather_src[:], wx_mat.astype(mm_dtype), (((1,), (0,)), ((), ())),
-            precision=mm_precision,
-            preferred_element_type=jnp.float32,
-        )  # (5*win, W)
+        Xs = mm_dot(gather_src[:], wx_mat.astype(mm_dtype))    # (5*win, W)
         # y one-hots in window coordinates (y0_blk == 0 when win == full_h).
         y0w = y0r - y0_blk
         y1w = y1r - y0_blk
@@ -191,7 +221,7 @@ def _gn_kernel(
     valid = (depth >= min_depth) & in_front
     valid &= obj_mask_ref[:] > 0.5
     valid &= (wx >= 0) & (wx < full_w) & (wy >= 0) & (wy < full_h)
-    if win < full_h:
+    if win < h_pad:
         # Both y corners must sit inside the gathered window (a partially
         # covered sample could sneak past the mask threshold at tiny fy).
         y0b = jnp.clip(jnp.floor(wy).astype(jnp.int32), 0, full_h - 1)
@@ -264,13 +294,23 @@ def gn_terms_pallas(
         ref_sigma = jnp.pad(ref_sigma, rows, constant_values=1.0)
     n_blocks = (h + pad) // _BLOCK_H
 
+    # Per-channel rows round up to 8 (h8) so every channel's static offset
+    # in the stack is sublane-aligned for Mosaic's dynamic window slice;
+    # pad rows are zero in every channel, so a sample touching them fails
+    # the mask-validity gate.
+    h8 = h + ((-h) % 8)
+    rpad = ((0, h8 - h), (0, 0))
+
+    def _pc(a):
+        return jnp.pad(a, rpad) if h8 != h else a
+
     ref_stack = jnp.concatenate(
         [
-            ref_gray,
-            ref_mask.astype(jnp.float32),
-            ref_gx,
-            ref_gy,
-            ref_gmask.astype(jnp.float32),
+            _pc(ref_gray),
+            _pc(ref_mask.astype(jnp.float32)),
+            _pc(ref_gx),
+            _pc(ref_gy),
+            _pc(ref_gmask.astype(jnp.float32)),
         ],
         axis=0,
     )
@@ -291,8 +331,15 @@ def gn_terms_pallas(
                 float(cfg.crop_y[0]), float(cfg.crop_y[1]))
 
     # y-window size for the gather matmul (kernel docstring): exact full-H
-    # gather when disabled or when the image is already small.
-    win = cfg.gather_window if 0 < cfg.gather_window < h else h
+    # gather when disabled or when the image is already small.  The window
+    # rounds up to a multiple of 8 so the scratch copy destinations stay
+    # sublane-aligned.
+    if 0 < cfg.gather_window < h:
+        win = cfg.gather_window + ((-cfg.gather_window) % 8)
+        if win >= h8:
+            win = h8
+    else:
+        win = h8
 
     kernel = functools.partial(
         _gn_kernel,
@@ -305,10 +352,11 @@ def gn_terms_pallas(
         crop=crop,
         precision_mode=cfg.pallas_precision,
         win=win,
+        h_pad=h8,
     )
 
     row_block = pl.BlockSpec((_BLOCK_H, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    full_stack = pl.BlockSpec((5 * h, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    full_stack = pl.BlockSpec((5 * h8, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         kernel,
@@ -325,9 +373,9 @@ def gn_terms_pallas(
         scratch_shapes=[
             pltpu.VMEM((5 * _BLOCK_H, w), jnp.float32),
             # Gather-window scratch; token-sized when the exact full-H
-            # gather is in use (win == h) and the kernel reads ref_stack
+            # gather is in use (win == h8) and the kernel reads ref_stack
             # directly.
-            pltpu.VMEM((5 * win if win < h else 8, w), ref_stack.dtype),
+            pltpu.VMEM((5 * win if win < h8 else 8, w), ref_stack.dtype),
         ],
         # The replicated ref stack (5H x W) is double-buffered by the
         # pipeline; at Kinect resolution that plus the one-hot temporaries

@@ -47,11 +47,13 @@ def test_pallas_gn_matches_xla(rng):
 
 
 def test_pallas_gn_bf16_close_to_f32(rng):
-    """Precision-mode contract: "high" (the default, 3 MXU passes over f32
-    inputs) matches the exact-parity f32 mode essentially bit-for-bit in
-    interpret mode; "bf16" (one pass over quantized inputs) stays within a
-    few percent on a single GN step — the measured quantization bias that
-    makes it opt-in rather than the default (config.py note)."""
+    """Precision-mode contract: "high" (the default — a manual bf16x3
+    split, 3 MXU passes: hi.hi + hi.lo + lo.hi with f32 accumulate) keeps
+    ~2^-16 relative sample accuracy, so its GN step tracks the exact f32
+    mode to ~1e-3; "bf16" (one pass over quantized inputs, ~2^-9 samples)
+    stays within a few percent on a single GN step — the measured
+    quantization bias that makes it opt-in rather than the default
+    (config.py note)."""
     from dvo_tpu.models.tracker import gn_solve
 
     obj, ref = _scenes(rng)
@@ -68,9 +70,10 @@ def test_pallas_gn_bf16_close_to_f32(rng):
                      np.asarray(gn_solve(H, g, c, cfg.damping)), int(c))
     assert out["f32"][3] == out["high"][3] == out["bf16"][3]
     step_f32 = out["f32"][2]
-    # "high": f32 inputs — interpret mode evaluates it exactly.
-    np.testing.assert_allclose(out["high"][0], out["f32"][0], rtol=1e-5)
-    np.testing.assert_allclose(out["high"][2], step_f32, rtol=1e-4, atol=1e-7)
+    # "high": bf16x3 split — ~2^-16 relative per sampled intensity; the
+    # 6x6 solve amplifies by the system's conditioning.
+    np.testing.assert_allclose(out["high"][0], out["f32"][0], rtol=1e-4)
+    np.testing.assert_allclose(out["high"][2], step_f32, rtol=2e-3, atol=1e-7)
     # "bf16": quantized inputs — bounded but visible step deviation.
     np.testing.assert_allclose(out["bf16"][0], out["f32"][0], rtol=2e-2)
     assert np.linalg.norm(out["bf16"][2] - step_f32) < 0.08 * np.linalg.norm(step_f32) + 1e-6
