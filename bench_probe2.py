@@ -24,6 +24,14 @@ import time
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache (shared with bench.py): repeat probe runs
+# skip the tunnel's slow AOT compiles.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 from jax import lax
 
 RESULTS = {}
@@ -293,6 +301,58 @@ def sec_pipeline():
         RESULTS[f"mono_ms_per_frame_{name}"] = per
 
 
+def sec_batched():
+    """B-scaling curve of the vmapped multi-stream mode, plus the
+    early-exit-vs-masked-scan question under vmap.  Expected shape: the
+    Pallas kernels batch as a leading grid dimension, and grid steps run
+    sequentially on the v5e's single TensorCore — so kernel time scales
+    ~B while the XLA overhead amortizes; the curve locates how much of the
+    frame is which."""
+    import dataclasses as dc
+
+    import bench
+    from dvo_tpu.config import DVOConfig
+    from dvo_tpu.models.odometry import (
+        monocular_init_batched, monocular_run_batched,
+    )
+
+    chunk = 24
+    frames, K = bench._load_frames(chunk + 1)
+    h, w = frames[0].shape
+    base_arr = np.stack(frames)
+    Kd = jnp.asarray(K)
+    rtt = RESULTS.get("rtt-floor", 0.0)
+    cfg_ee = DVOConfig.monocular()
+    cfg_scan = dc.replace(
+        cfg_ee, tracker=dc.replace(cfg_ee.tracker, early_exit=False)
+    )
+
+    for tag, cfg, bs in (
+        ("ee", cfg_ee, (1, 2, 4, 8)),
+        ("scan", cfg_scan, (8,)),
+    ):
+        for b in bs:
+            grays = np.stack(
+                [np.roll(base_arr, 3 * s, axis=2) for s in range(b)]
+            )
+            masks = jnp.ones((b, chunk, h, w), bool)
+            dev = jnp.asarray(grays[:, 1:])
+            states = monocular_init_batched(
+                jnp.asarray(grays[:, 0]), masks[:, 0], Kd,
+                jax.random.PRNGKey(0), cfg,
+            )
+
+            def prog(s, d):
+                _, res = monocular_run_batched(s, d, masks, Kd, cfg)
+                return jnp.sum(res.T_world)
+
+            t = timed(f"batched-{tag}-B{b}-{chunk}f", jax.jit(prog),
+                      states, dev)
+            agg = b * chunk / max(t - rtt, 1e-6) * 1e3
+            print(f"  -> {agg:.1f} aggregate fps", flush=True)
+            RESULTS[f"batched_{tag}_b{b}_agg_fps"] = agg
+
+
 def sec_phases():
     """Locate the per-frame device time by differential config degradation:
     full pipeline vs crippled-tracker (max_iterations=1) vs crippled-march
@@ -348,7 +408,7 @@ def main():
     fns = {
         "rtt": sec_rtt, "mxu": sec_mxu, "track": sec_track, "map": sec_map,
         "reg": sec_reg, "framebuild": sec_framebuild, "pipeline": sec_pipeline,
-        "phases": sec_phases,
+        "phases": sec_phases, "batched": sec_batched,
     }
     try:
         if "rtt" not in sections:

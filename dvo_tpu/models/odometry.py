@@ -298,15 +298,19 @@ def rgbd_run(state: RGBDState, grays, masks, depths, sigmas, K,
 # ------------------------------------------------------------------- batched
 #
 # Multi-stream throughput mode — no reference counterpart.  The reference is
-# a single-camera demo; on TPU the per-frame arrays (160x120 tracking
-# pyramids) are far too small to fill the MXU, so the native way to serve
-# many cameras (or replay many sequences) on one chip is to vmap the whole
-# per-frame step over a leading stream axis: every contraction in the
-# tracker/mapper batches, and throughput scales with B until the arithmetic
-# units saturate.  Streams are independent (separate keyframe rings, PRNG
-# streams, histories); a shared K keeps the warp geometry common (the
-# multi-camera-rig case), while per-stream intrinsics work by passing K with
-# a leading B axis.
+# a single-camera demo; this mode vmaps the whole per-frame step over a
+# leading stream axis to serve many cameras (or replay many sequences) on
+# one chip.  Measured scaling reality (bench_probe2.py sec_batched,
+# PROBE_r03.json): under vmap the Pallas kernels batch as a leading *grid*
+# dimension, and grid steps run sequentially on the v5e's single
+# TensorCore — so kernel time grows ~linearly with B while the XLA
+# orchestration (frame build, history ops, scan dispatch) amortizes across
+# streams.  Aggregate throughput therefore rises with B but sub-linearly;
+# linear scaling across streams is the device mesh's job
+# (dvo_tpu/parallel — one or more streams per chip).  Streams are
+# independent (separate keyframe rings, PRNG streams, histories); a shared
+# K keeps the warp geometry common (the multi-camera-rig case), while
+# per-stream intrinsics work by passing K with a leading B axis.
 
 
 def monocular_init_batched(grays, masks, K, key, cfg: DVOConfig = DVOConfig.monocular()):

@@ -11,12 +11,13 @@ Sampling strategy: TPU has no per-lane VMEM gather, so bilinear
 interpolation is computed with *transposed* one-hot contractions that stay
 reshape-free (Mosaic supports no layout-changing reshapes):
 
-  points of one image row live along lanes (1, W);
-  Wx (Wimg, W) one-hot of x-corners  -> X = ref_stack (C*H, Wimg) @ Wx
-  Wy (H, W)    one-hot of y-corners  -> out_c = sum_sublanes(Wy * X_c)
+  the 8 rows of a block are lane-packed into (1, 8W);
+  Wx (Wimg, 8W) one-hot of x-corners -> X = ref_window (C*win, Wimg) @ Wx
+  Wy (win, 8W)  one-hot of y-corners -> out_c = sum_sublanes(Wy * X_c)
 
-i.e. one MXU matmul gathers+x-interpolates all C channels for a row of
-points, and a masked sublane reduction finishes the y-interpolation.
+i.e. ONE MXU matmul per GN iteration per block gathers+x-interpolates all
+C channels for all 8 rows of points, and a masked sublane reduction
+finishes the y-interpolation.
 
 Semantics vs the reference: clamp-to-edge at the outermost fractional
 row/col instead of the base-corner fallback (convert.cpp:88-101), and a
@@ -43,13 +44,11 @@ _BLOCK_H = 8
 
 def _gn_kernel(
     params_ref,      # SMEM (1, 24): T_inv (16) | fx fy cx cy | step | pad
-    obj_gray_ref,    # VMEM (BH, W) row block
-    obj_mask_ref,    # VMEM (BH, W) f32 row block
-    depth_ref,       # VMEM (BH, W)
-    sigma_ref,       # VMEM (BH, W)
-    ref_stack_ref,   # VMEM (5*H, W): gray | mask | gx | gy | gmask
+    obj_ref,         # VMEM (1, 8, BW=8*W): the block's 8 rows lane-packed;
+                     # planes 0..3 = obj gray | obj mask | ref depth |
+                     # ref sigma (4 zero pad planes for sublane tiling)
+    ref_stack_ref,   # VMEM (5*h_pad, W): gray | mask | gx | gy | gmask
     out_ref,         # VMEM (1, 8, _OUT_W)
-    samp_ref,        # VMEM scratch (5*BH, W): sampled channels
     win_ref,         # VMEM scratch (5*win, W) gather window (dummy if exact)
     *,
     full_h: int,
@@ -65,8 +64,14 @@ def _gn_kernel(
                      # up to 8 so every channel's static offset is
                      # sublane-aligned for Mosaic; pad rows are zero)
 ):
+    # Lane-packed execution (round 3): the block's 8 rows are ONE (1, 8W)
+    # vector program — the bilinear gather is a single
+    # (5*win, Wimg) x (Wimg, 8W) MXU matmul per GN iteration per block
+    # instead of a fori_loop of 8 narrow ones, and the Jacobian/residual/
+    # normal-equation tail vectorizes over all 8W lanes.
     bi = pl.program_id(0)
-    bh, w = _BLOCK_H, full_w
+    w = full_w
+    bw = _BLOCK_H * w
     # cfg.pallas_precision: "bf16" -> inputs cast to bf16 by the wrapper,
     # one MXU pass; "high" -> f32 inputs, manual 3-pass bf16x3 split
     # (hi.hi + hi.lo + lo.hi, f32 accumulate — Mosaic's dot lowering has no
@@ -112,12 +117,14 @@ def _gn_kernel(
     cx, cy = params_ref[0, 18], params_ref[0, 19]
     step = params_ref[0, 20]
 
-    ys = lax.broadcasted_iota(jnp.int32, (bh, w), 0).astype(jnp.float32) + (
-        bi * _BLOCK_H
-    ).astype(jnp.float32)
-    xs = lax.broadcasted_iota(jnp.int32, (bh, w), 1).astype(jnp.float32)
+    lane = lax.broadcasted_iota(jnp.int32, (1, bw), 1)
+    ys = (lane // w + bi * _BLOCK_H).astype(jnp.float32)   # image row
+    xs = (lane % w).astype(jnp.float32)                    # image col
 
-    depth = depth_ref[:]
+    obj_gray = obj_ref[0, pl.ds(0, 1), :]                  # (1, BW)
+    obj_mask = obj_ref[0, pl.ds(1, 1), :]
+    depth = obj_ref[0, pl.ds(2, 1), :]
+    sigma = obj_ref[0, pl.ds(3, 1), :]
     X = depth * (xs - cx) / fx        # back-project (transform.cpp:25-28)
     Y = depth * (ys - cy) / fy
     Z = depth
@@ -129,17 +136,17 @@ def _gn_kernel(
     wx = fx * Xj / safe_zj + cx
     wy = fy * Yj / safe_zj + cy
 
-    ww_sub = lax.broadcasted_iota(jnp.int32, (full_w, w), 0)   # img-x along sublanes
-    hh_sub = lax.broadcasted_iota(jnp.int32, (win, w), 0)      # window-y / sublanes
+    ww_sub = lax.broadcasted_iota(jnp.int32, (full_w, bw), 0)  # img-x / sublane
+    hh_sub = lax.broadcasted_iota(jnp.int32, (win, bw), 0)     # window-y / sublane
 
-    # --- y-window selection (win < full_h): the one-hot gather matmul costs
-    # O(rows_gathered * Wimg) MACs per sampled row, and a block's warped
-    # points cluster vertically (inter-frame motion is small once coarser
-    # levels have aligned), so gathering a `win`-row window around their
-    # mean instead of the full image cuts the dominant matmul by
-    # full_h / win.  Points outside the window sample a zero mask channel
-    # and are invalidated — identical results, slightly fewer valid pixels
-    # for extreme warps (win == full_h is exact). ---
+    # --- y-window selection (win < h_pad): the one-hot gather matmul costs
+    # O(rows_gathered * Wimg) MACs, and a block's warped points cluster
+    # vertically (inter-frame motion is small once coarser levels have
+    # aligned), so gathering a `win`-row window around their mean instead
+    # of the full image cuts the dominant matmul by full_h / win.  Points
+    # outside the window sample a zero mask channel and are invalidated —
+    # identical results, slightly fewer valid pixels for extreme warps
+    # (win == h_pad is exact). ---
     if win < h_pad:
         geo_ok = (
             (depth >= min_depth) & in_front
@@ -155,71 +162,45 @@ def _gn_kernel(
         # down (window shifts <= 7 rows; out-of-window samples are already
         # invalidated by the validity gate below).
         y0_blk = pl.multiple_of((y0_blk // 8) * 8, 8)
-    else:
-        y0_blk = jnp.int32(0)
-
-    if win < h_pad:
         for c in range(5):
             win_ref[c * win : (c + 1) * win, :] = ref_stack_ref[
                 pl.ds(c * h_pad + y0_blk, win), :
             ]
         gather_src = win_ref
     else:
+        y0_blk = jnp.int32(0)
         gather_src = ref_stack_ref
 
-    # Per block row: one matmul x-interpolates all 5 channels, a masked
-    # sublane reduction y-interpolates.  A fori_loop (not unrolled Python)
-    # keeps only one row's (Wimg, W) temporaries live — the unrolled
-    # form blows the 16 MB VMEM budget at 424x512.
-    def sample_row(row, _):
-        # Recompute this row's warp from the depth ref (refs support dynamic
-        # row slicing; sliced *values* don't lower in Mosaic).
-        d_r = depth_ref[pl.ds(row, 1), :]                       # (1, W)
-        ys_r = (bi * _BLOCK_H + row).astype(jnp.float32)
-        xs_r = xs[0:1]
-        X_r = d_r * (xs_r - cx) / fx
-        Y_r = d_r * (ys_r - cy) / fy
-        Xj_r = T[0][0] * X_r + T[0][1] * Y_r + T[0][2] * d_r + T[0][3]
-        Yj_r = T[1][0] * X_r + T[1][1] * Y_r + T[1][2] * d_r + T[1][3]
-        Zj_r = T[2][0] * X_r + T[2][1] * Y_r + T[2][2] * d_r + T[2][3]
-        sz_r = jnp.where(jnp.abs(Zj_r) < 1e-6, 1e-6, Zj_r)
-        wx_r = fx * Xj_r / sz_r + cx
-        wy_r = fy * Yj_r / sz_r + cy
-        x0_r = jnp.floor(wx_r)
-        y0_r = jnp.floor(wy_r)
-        fxr = wx_r - x0_r
-        fyr = wy_r - y0_r
-        x0r = jnp.clip(x0_r.astype(jnp.int32), 0, full_w - 1)
-        x1r = jnp.clip(x0_r.astype(jnp.int32) + 1, 0, full_w - 1)
-        y0r = jnp.clip(y0_r.astype(jnp.int32), 0, full_h - 1)
-        y1r = jnp.clip(y0_r.astype(jnp.int32) + 1, 0, full_h - 1)
-        wx_mat = jnp.where(ww_sub == x0r, 1.0 - fxr, 0.0) + jnp.where(
-            ww_sub == x1r, fxr, 0.0
-        )                                                       # (Wimg, W)
-        Xs = mm_dot(gather_src[:], wx_mat.astype(mm_dtype))    # (5*win, W)
-        # y one-hots in window coordinates (y0_blk == 0 when win == full_h).
-        y0w = y0r - y0_blk
-        y1w = y1r - y0_blk
-        wy_mat = jnp.where(hh_sub == y0w, 1.0 - fyr, 0.0) + jnp.where(
-            hh_sub == y1w, fyr, 0.0
-        )                                                       # (win, W)
-        for c in range(5):
-            Xc = Xs[c * win : (c + 1) * win]                    # (win, W)
-            samp_ref[pl.ds(c * bh + row, 1), :] = jnp.sum(
-                wy_mat * Xc, axis=0, keepdims=True
-            )
-        return 0
+    # One matmul x-interpolates all 5 channels for all 8 rows; a masked
+    # sublane reduction per channel y-interpolates.
+    x0f = jnp.floor(wx)
+    y0f = jnp.floor(wy)
+    fxr = wx - x0f
+    fyr = wy - y0f
+    x0r = jnp.clip(x0f.astype(jnp.int32), 0, full_w - 1)
+    x1r = jnp.clip(x0f.astype(jnp.int32) + 1, 0, full_w - 1)
+    y0r = jnp.clip(y0f.astype(jnp.int32), 0, full_h - 1)
+    y1r = jnp.clip(y0f.astype(jnp.int32) + 1, 0, full_h - 1)
+    wx_mat = jnp.where(ww_sub == x0r, 1.0 - fxr, 0.0) + jnp.where(
+        ww_sub == x1r, fxr, 0.0
+    )                                                          # (Wimg, BW)
+    Xs = mm_dot(gather_src[:], wx_mat.astype(mm_dtype))        # (5*win, BW)
+    # y one-hots in window coordinates (y0_blk == 0 when win == h_pad).
+    y0w = y0r - y0_blk
+    y1w = y1r - y0_blk
+    wy_mat = jnp.where(hh_sub == y0w, 1.0 - fyr, 0.0) + jnp.where(
+        hh_sub == y1w, fyr, 0.0
+    )                                                          # (win, BW)
 
-    lax.fori_loop(0, bh, sample_row, 0)
-    i2 = samp_ref[0 * bh : 1 * bh, :]
-    m2 = samp_ref[1 * bh : 2 * bh, :]
-    gx = samp_ref[2 * bh : 3 * bh, :]
-    gy = samp_ref[3 * bh : 4 * bh, :]
-    gm = samp_ref[4 * bh : 5 * bh, :]
+    def ysum(c):
+        return jnp.sum(wy_mat * Xs[c * win : (c + 1) * win], axis=0,
+                       keepdims=True)                          # (1, BW)
+
+    i2, m2, gx, gy, gm = ysum(0), ysum(1), ysum(2), ysum(3), ysum(4)
 
     # ---- validity (optimize.cpp:33-63) ----
     valid = (depth >= min_depth) & in_front
-    valid &= obj_mask_ref[:] > 0.5
+    valid &= obj_mask > 0.5
     valid &= (wx >= 0) & (wx < full_w) & (wy >= 0) & (wy < full_h)
     if win < h_pad:
         # Both y corners must sit inside the gathered window (a partially
@@ -246,8 +227,8 @@ def _gn_kernel(
         fgx * (1.0 + xz * xz) + fgy * xz * yz,
         -fgx * yz + fgy * xz,
     ]
-    r = i2 - obj_gray_ref[:]
-    weight = step / jnp.clip(sigma_ref[:], sigma_lo, sigma_hi)
+    r = i2 - obj_gray
+    weight = step / jnp.clip(sigma, sigma_lo, sigma_hi)
 
     # 6x6 + 6 accumulators as masked reductions (a (N, 6) matrix would need
     # a layout-changing reshape Mosaic doesn't do).
@@ -293,6 +274,22 @@ def gn_terms_pallas(
         ref_depth = jnp.pad(ref_depth, rows)
         ref_sigma = jnp.pad(ref_sigma, rows, constant_values=1.0)
     n_blocks = (h + pad) // _BLOCK_H
+    # Lane-pack each 8-row block: (H, W) -> (nb, 8W) is a contiguous
+    # reshape (lane l of a block row <-> image row l // W, x = l % W); the
+    # kernel runs each block as one (1, 8W) vector program.  The four
+    # per-pixel planes stack on a middle sublane axis padded to 8 (Mosaic
+    # requires the block's second-to-last dim divisible by 8).
+    bw = _BLOCK_H * w
+    obj_stack = jnp.stack(
+        [
+            obj_gray.reshape(n_blocks, bw),
+            obj_mask.astype(jnp.float32).reshape(n_blocks, bw),
+            ref_depth.reshape(n_blocks, bw),
+            ref_sigma.reshape(n_blocks, bw),
+        ],
+        axis=1,
+    )
+    obj_stack = jnp.pad(obj_stack, ((0, 0), (0, 4), (0, 0)))
 
     # Per-channel rows round up to 8 (h8) so every channel's static offset
     # in the stack is sublane-aligned for Mosaic's dynamic window slice;
@@ -355,7 +352,8 @@ def gn_terms_pallas(
         h_pad=h8,
     )
 
-    row_block = pl.BlockSpec((_BLOCK_H, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    row_block = pl.BlockSpec((1, 8, bw), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
     full_stack = pl.BlockSpec((5 * h8, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
@@ -363,7 +361,7 @@ def gn_terms_pallas(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((1, 24), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            row_block, row_block, row_block, row_block,
+            row_block,
             full_stack,
         ],
         out_specs=pl.BlockSpec(
@@ -371,7 +369,6 @@ def gn_terms_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((n_blocks, 8, _OUT_W), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((5 * _BLOCK_H, w), jnp.float32),
             # Gather-window scratch; token-sized when the exact full-H
             # gather is in use (win == h8) and the kernel reads ref_stack
             # directly.
@@ -385,11 +382,7 @@ def gn_terms_pallas(
             vmem_limit_bytes=96 * 1024 * 1024
         ),
         interpret=interpret,
-    )(
-        params,
-        obj_gray, obj_mask.astype(jnp.float32), ref_depth, ref_sigma,
-        ref_stack,
-    )
+    )(params, obj_stack, ref_stack)
     acc = jnp.sum(out[:, 0], axis=0)
     Hmat = acc[:36].reshape(6, 6)
     g = acc[36:42]
