@@ -27,12 +27,13 @@ Performance status (round 3, device-side measurement): this kernel IS the
 TPU default (config.resolve_backend).  Round 2 left two contradictory
 claims in the repo because its timings were taken per-dispatch through a
 tunnel with a ~29 ms RTT floor — worthless for ops this small.  The
-round-3 probe (bench_probe2.py / PROBE_r03.json; single-dispatch floor
-already visible in the round-2-era probe rerun) puts the XLA twin's
-120x160 depth update at ~85 ms on device — its per-pixel gathers lower to
-scalar-core loops — while this fused kernel's one-hot-matmul march runs
-the same update in low single-digit ms on the MXU.  The XLA twin remains
-the exact-reference-semantics oracle for parity tests and the CPU path.
+round-3 probe (bench_probe2.py / PROBE_r03.json, loop-amortized) puts the
+XLA twin's 120x160 depth update at ~102 ms on device — its per-pixel
+gathers lower to scalar-core loops — while this fused lane-packed kernel
+runs the same update in **0.61 ms** (2.79 ms at 256x212).  A per-slot
+predicated march variant measured slower (0.97 ms: M=48 sub-matmuls tile
+poorly on the 128-wide MXU) and was dropped.  The XLA twin remains the
+exact-reference-semantics oracle for parity tests and the CPU path.
 """
 
 from __future__ import annotations
