@@ -105,3 +105,67 @@ def test_run_stream_accepts_arrays():
     ts, poses, secs = run_stream(iter(_frames(3)), Calib(), cfg, undistort=False)
     assert poses.shape == (3, 4, 4)
     assert np.all(np.isfinite(poses))
+
+
+# ---------------------------------------------------------------- recorder
+
+def test_record_mono_roundtrip(tmp_path):
+    """record() writes the logicool-layout dataset (record.cpp:21-54's
+    output contract) and InfoSequence reads it back bit-for-bit."""
+    from dvo_tpu.utils.datasets import InfoSequence
+    from dvo_tpu.utils.record import record
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (24, 32), dtype=np.uint8) for _ in range(4)]
+    out = str(tmp_path / "recorded")
+    n = record(iter(frames), out)
+    assert n == 4
+    seq = list(InfoSequence(os.path.join(out, "info.txt")))
+    assert len(seq) == 4
+    for item, orig in zip(seq, frames):
+        got = np.asarray(Image.open(item.gray_path).convert("L"))
+        np.testing.assert_array_equal(got, orig)
+
+
+def test_record_rgbd_roundtrip(tmp_path):
+    """record_rgbd() writes the kinectv2 two-column layout; depth survives
+    the 16-bit 1/5000 m encoding to within half a count."""
+    from dvo_tpu.utils.datasets import InfoSequence
+    from dvo_tpu.utils.record import DEPTH_SCALE, record_rgbd
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    pairs = [
+        (
+            rng.random((16, 20), dtype=np.float32),
+            rng.uniform(0.5, 4.0, (16, 20)).astype(np.float32),
+        )
+        for _ in range(3)
+    ]
+    out = str(tmp_path / "recorded_rgbd")
+    assert record_rgbd(iter(pairs), out) == 3
+    seq = list(InfoSequence(os.path.join(out, "info.txt")))
+    assert len(seq) == 3 and seq[0].depth_path is not None
+    for item, (gray, depth) in zip(seq, pairs):
+        d = np.asarray(Image.open(item.depth_path), np.float32) / DEPTH_SCALE
+        np.testing.assert_allclose(d, depth, atol=0.5 / DEPTH_SCALE + 1e-7)
+
+
+def test_record_stream_rerecords_live_directory(tmp_path):
+    """record_stream consumes the watch_directory producer convention and
+    emits a numbered dataset — the record.cpp camera-loop equivalent."""
+    from dvo_tpu.utils.record import record_stream
+    from PIL import Image
+
+    src = tmp_path / "live"
+    src.mkdir()
+    rng = np.random.default_rng(2)
+    imgs = [rng.integers(0, 255, (12, 16), dtype=np.uint8) for _ in range(3)]
+    for i, im in enumerate(imgs):
+        Image.fromarray(im, "L").save(str(src / f"frame_{i:03d}.png"))
+    out = str(tmp_path / "rec")
+    n = record_stream(str(src), out, idle_timeout_s=0.5)
+    assert n == 3
+    got = np.asarray(Image.open(os.path.join(out, "0001.png")).convert("L"))
+    np.testing.assert_array_equal(got, imgs[1])
