@@ -75,8 +75,13 @@ class TrackerConfig:
     # numbers were swamped by the dev tunnel's ~29 ms RTT and are void.
     backend: str = "auto"
     # Matmul mode for the Pallas kernel's one-hot sampling contractions:
-    # "high" (default) = 3 bf16 MXU passes — f32-grade samples at half the
-    # cost of HIGHEST; "bf16" = one pass, fastest, but the ~2^-9 sample
+    # "high" (default) = 3 bf16 MXU passes (a manual hi/lo split omitting
+    # the lo*lo term, since Mosaic lowers lax.Precision.HIGH to a single
+    # pass inside kernels) — NOT bit-identical to f32: sampled intensities
+    # carry ~2^-18 relative error vs HIGHEST, and the converged pose agrees
+    # with the XLA twin to ~1e-4 twist norm rather than 1e-5
+    # (tests/test_pallas.py parity tolerances measure this boundary);
+    # "bf16" = one pass, fastest, but the ~2^-9 sample
     # quantization measurably biases the CONVERGED pose (the GN optimum of
     # a quantized photometric cost moves; see
     # tests/test_pallas.py::test_pallas_gn_bf16_close_to_f32), so it is

@@ -35,8 +35,21 @@ def _to_u8(gray: np.ndarray) -> np.ndarray:
 
 
 def _prepare_dir(out_dir: str, overwrite: bool) -> None:
-    # record.cpp:23-27 removes and recreates its output directory.
-    if overwrite and os.path.isdir(out_dir):
+    """record.cpp:23-27 removes and recreates its output directory; here a
+    non-empty directory is only ever removed when it is recognizably a
+    prior recording (it contains an ``info.txt``) — a mistyped output path
+    must not delete arbitrary data."""
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        if not overwrite:
+            raise FileExistsError(
+                f"{out_dir!r} exists and is not empty; pass overwrite=True "
+                "(--overwrite) to replace a prior recording"
+            )
+        if not os.path.isfile(os.path.join(out_dir, "info.txt")):
+            raise FileExistsError(
+                f"refusing to delete {out_dir!r}: it is not a prior "
+                "recording (no info.txt)"
+            )
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -50,15 +63,17 @@ def record(
     """Write grayscale frames as ``%04d.png`` + ``info.txt``
     (the ``logicool*`` layout).  ``frames`` yields (H, W) arrays, uint8 or
     float in [0, 1].  Returns the number of frames written."""
+    import itertools
+
     from PIL import Image
 
     _prepare_dir(out_dir, overwrite)
     names = []
-    for i, frame in enumerate(frames):
-        if limit is not None and i >= limit:
-            break
+    # islice (not a break-on-count) so the (limit+1)-th frame is never
+    # pulled from a potentially blocking live source.
+    for i, frame in enumerate(itertools.islice(frames, limit)):
         name = f"{i:04d}.png"
-        Image.fromarray(_to_u8(frame), "L").save(os.path.join(out_dir, name))
+        Image.fromarray(_to_u8(frame)).save(os.path.join(out_dir, name))
         names.append(name)
     with open(os.path.join(out_dir, "info.txt"), "w") as f:
         f.write("\n".join(names) + ("\n" if names else ""))
@@ -74,20 +89,22 @@ def record_rgbd(
     """Write (gray, depth_m) pairs in the ``kinectv2_*`` layout:
     ``rgb_%03d.png`` (8-bit) + ``depth_%03d.png`` (16-bit, 1/5000 m) and a
     two-column ``info.txt``.  Returns the number of pairs written."""
+    import itertools
+
     from PIL import Image
 
     _prepare_dir(out_dir, overwrite)
     lines = []
-    for i, (gray, depth) in enumerate(frames):
-        if limit is not None and i >= limit:
-            break
+    for i, (gray, depth) in enumerate(itertools.islice(frames, limit)):
         g_name = f"rgb_{i:03d}.png"
         d_name = f"depth_{i:03d}.png"
-        Image.fromarray(_to_u8(gray), "L").save(os.path.join(out_dir, g_name))
+        Image.fromarray(_to_u8(gray)).save(os.path.join(out_dir, g_name))
         d16 = np.clip(
             np.round(np.asarray(depth, np.float32) * DEPTH_SCALE), 0, 65535
         ).astype(np.uint16)
-        Image.fromarray(d16, "I;16").save(os.path.join(out_dir, d_name))
+        # dtype-inferred mode (uint16 -> I;16): the explicit ``mode`` arg is
+        # deprecated and scheduled for removal in Pillow 13.
+        Image.fromarray(d16).save(os.path.join(out_dir, d_name))
         lines.append(f"{g_name} {d_name}")
     with open(os.path.join(out_dir, "info.txt"), "w") as f:
         f.write("\n".join(lines) + ("\n" if lines else ""))
@@ -124,11 +141,15 @@ def _main(argv=None):  # pragma: no cover - thin CLI shim over record_stream
         "layout dataset (numbered PNGs + info.txt)."
     )
     p.add_argument("src", help="directory a producer drops frames into")
-    p.add_argument("out", help="output dataset directory (recreated)")
+    p.add_argument("out", help="output dataset directory")
     p.add_argument("--idle-timeout", type=float, default=5.0)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--overwrite", action="store_true",
+                   help="replace an existing recording at OUT (only a "
+                        "directory containing info.txt is ever deleted)")
     a = p.parse_args(argv)
-    n = record_stream(a.src, a.out, idle_timeout_s=a.idle_timeout, limit=a.limit)
+    n = record_stream(a.src, a.out, idle_timeout_s=a.idle_timeout,
+                      limit=a.limit, overwrite=a.overwrite)
     print(f"recorded {n} frames -> {a.out}")
 
 
