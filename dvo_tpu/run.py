@@ -30,6 +30,12 @@ def main(argv=None):
     ap.add_argument("--out", default="trajectory.txt")
     ap.add_argument("--gt", default=None, help="ground-truth TUM file for ATE")
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--chunk", type=int, default=24,
+                    help="frames per device-side lax.scan chunk (the chunked "
+                         "driver overlaps decode, transfer, execution, and "
+                         "result drain; same trajectory as per-frame up to "
+                         "float noise).  0 = per-frame dispatch "
+                         "(also used automatically with --pose-graph)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-undistort", action="store_true")
     ap.add_argument("--verbose", action="store_true")
@@ -69,10 +75,20 @@ def main(argv=None):
                          "new frame")
     args = ap.parse_args(argv)
 
-    if args.platform:
-        import jax
+    import os
 
+    import jax
+
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # Persistent compile cache: the chunked scan programs are large; caching
+    # them makes repeat CLI runs start in seconds (round-3 memory: on the
+    # tunneled dev TPU a cold compile is ~20-40 s).
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from dvo_tpu.config import DVOConfig
     from dvo_tpu.utils.datasets import (
@@ -149,7 +165,7 @@ def main(argv=None):
                 seq, kcal, cfg=cfg_mono if args.mode == "mono" else None,
                 mode=args.mode, max_frames=args.max_frames,
                 undistort=not args.no_undistort, verbose=args.verbose,
-                metrics=metrics,
+                metrics=metrics, chunk=args.chunk,
             )
     elif args.format == "euroc":
         from dvo_tpu.utils.datasets import EuRoCSequence
@@ -176,14 +192,14 @@ def main(argv=None):
                 max_frames=args.max_frames, undistort=not args.no_undistort,
                 verbose=args.verbose, metrics=metrics,
                 checkpoint_out=args.checkpoint, gallery_out=args.gallery,
-                pose_graph=args.pose_graph,
+                pose_graph=args.pose_graph, chunk=args.chunk,
             )
     else:
         with trace_ctx:
             ts, poses, secs = run_rgbd(
                 seq, calib, DVOConfig.rgbd(),
                 max_frames=args.max_frames, undistort=not args.no_undistort,
-                verbose=args.verbose, metrics=metrics,
+                verbose=args.verbose, metrics=metrics, chunk=args.chunk,
             )
 
     metrics.close()

@@ -40,6 +40,91 @@ def _prep_gray(item, calib, srcmap):
     return gray.astype(np.float32), mask
 
 
+# ----------------------------------------------------- chunked result plumbing
+#
+# The chunked drivers fetch each chunk's stacked StepResult as ONE packed
+# f32 array (a single device->host transfer) instead of one transfer per
+# pytree leaf: on this dev host every fetch pays the tunnel's ~29 ms RTT, so
+# a dozen per-leaf fetches per chunk would cost more than the chunk's entire
+# device execution.  ``_flatten_results`` runs on device; ``_unflatten`` is
+# free host reshaping.
+
+
+@jax.jit
+def _flatten_results(res):
+    """Device-side: concat every leaf of a stacked result pytree into one
+    (N, D) f32 array."""
+    leaves = jax.tree_util.tree_leaves(res)
+    n = leaves[0].shape[0]
+    return jnp.concatenate(
+        [leaf.reshape(n, -1).astype(jnp.float32) for leaf in leaves], axis=1
+    )
+
+
+def _unflatten_results(template, flat_np):
+    """Host-side: (N, D) numpy -> pytree shaped/dtyped like ``template``.
+    All integer fields are counts far below 2^24, so the f32 round-trip is
+    exact."""
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    out, off = [], 0
+    for leaf in leaves:
+        size = int(np.prod(leaf.shape[1:], dtype=np.int64))
+        arr = flat_np[:, off:off + size].reshape(leaf.shape)
+        out.append(arr.astype(leaf.dtype))
+        off += size
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+class _ChunkDrain:
+    """Pipelined chunk-result consumer: ``push`` dispatches the flatten for
+    the *current* chunk and consumes the *previous* chunk's packed results
+    (so the device runs chunk k+1 while the host walks chunk k's rows);
+    ``finish`` drains the final chunk."""
+
+    def __init__(self, on_frame):
+        self._on_frame = on_frame   # on_frame(frame_index, result_row)
+        self._pending = None
+
+    def push(self, res, first_index, count):
+        flat = _flatten_results(res)
+        prev, self._pending = self._pending, (res, flat, first_index, count)
+        if prev is not None:
+            self._consume(*prev)
+
+    def finish(self):
+        if self._pending is not None:
+            self._consume(*self._pending)
+            self._pending = None
+
+    def _consume(self, res, flat, first_index, count):
+        host = _unflatten_results(res, np.asarray(flat))
+        for k in range(count):
+            row = jax.tree_util.tree_map(lambda a: a[k], host)
+            self._on_frame(first_index + k, row)
+
+
+def _run_chunks(n_steps, chunk, alloc, fill_row, dispatch, on_frame):
+    """Drive ``n_steps // chunk`` full chunks through the device: fill host
+    buffers from the (prefetching) stream, dispatch the chunk program
+    (async), and consume the PREVIOUS chunk's packed results while the
+    device runs — decode, transfer, execution, and result drain all
+    overlap.  Returns the number of steps consumed (the per-frame tail
+    remains for the caller)."""
+    drain = _ChunkDrain(on_frame)
+    done = 0
+    for _ in range(n_steps // chunk):
+        bufs = alloc()
+        for k in range(chunk):
+            fill_row(bufs, k)
+        res = dispatch(bufs)
+        drain.push(res, done, chunk)
+        done += chunk
+    drain.finish()
+    return done
+
+
 def _image_stream(paths, scale, srcmap, loaders=()):
     """Yield (image f32, valid bool) per path, decoding (+undistorting) on
     the native C++ prefetch threads when ``libdvonative.so`` is available
@@ -85,6 +170,7 @@ def run_monocular(
     checkpoint_out: Optional[str] = None,
     gallery_out: Optional[str] = None,
     pose_graph: bool = False,
+    chunk: int = 0,
 ):
     """Monocular VO over a sequence.  Returns (timestamps, poses (N,4,4),
     per-frame seconds).  ``metrics``: utils.metrics.MetricsLogger for JSONL
@@ -93,15 +179,35 @@ def run_monocular(
     keyframe-ring gallery (the reference's SHOW_KEYFRAME panel);
     ``pose_graph``: harvest odometry/BA/loop-closure constraints during the
     run and globally refine the keyframe trajectory at sequence end
-    (models/posegraph.py) — the returned poses are then the refined ones."""
+    (models/posegraph.py) — the returned poses are then the refined ones.
+
+    ``chunk`` > 1 selects the CHUNKED device-side driver: frames dispatch
+    as ``chunk``-long ``lax.scan`` programs (models/odometry.monocular_run)
+    with uint8 inputs normalized on device, overlapping host decode, input
+    transfer, device execution, and result drain — the per-frame dispatch +
+    sync of the default path costs one host round-trip per frame, which on
+    a tunneled/remote device caps throughput far below the chip's.  The
+    inputs are bit-identical to the per-frame path and the trajectory
+    matches it to XLA program-boundary float noise (~1e-5 scale; the
+    scanned and standalone step compile with different fusion/reduction
+    orders — tests/test_runner.py::test_chunked_matches_per_frame); only
+    per-frame wall-clock attribution coarsens to the chunk average.  The
+    tail (len-1 mod chunk) runs per-frame."""
     srcmap = build_undistort_map(calib) if undistort and calib.distortion is not None else None
     K = jnp.asarray(calib.K)
     items = list(sequence)[:max_frames]
+    use_chunk = bool(chunk and chunk > 1) and not pose_graph and len(items) > chunk
     loaders: list = []
+    # Chunked mode ships raw uint8 (device normalizes, frame._normalize_gray)
+    # — 4x less host->device traffic; the scale-1.0 stream keeps the decode
+    # values exact so the cast is lossless.
     stream = _image_stream(
-        [it.gray_path for it in items], 1 / 255.0, srcmap, loaders=loaders
+        [it.gray_path for it in items], 1.0 if use_chunk else 1 / 255.0,
+        srcmap, loaders=loaders,
     )
     gray, mask = next(stream)
+    if use_chunk:
+        gray = gray.astype(np.uint8)
     state = monocular_init(
         jnp.asarray(gray), jnp.asarray(mask), K, jax.random.PRNGKey(seed), cfg
     )
@@ -113,7 +219,54 @@ def run_monocular(
     poses = [np.eye(4, dtype=np.float32)]
     times = [items[0].timestamp]
     secs = []
-    for fi, item in enumerate(items[1:], start=1):
+
+    start_fi = 1
+    if use_chunk:
+        from dvo_tpu.models.odometry import monocular_run
+
+        h, w = gray.shape
+        t_sec = time.perf_counter()
+        n_done = [0]
+
+        def on_frame(step_idx, row):
+            fi = 1 + step_idx
+            n_done[0] += 1
+            poses.append(np.asarray(row.T_world))
+            times.append(items[fi].timestamp)
+            if metrics is not None:
+                avg = (time.perf_counter() - t_sec) / n_done[0]
+                metrics.log_frame(row, avg, items[fi].timestamp)
+            if verbose:
+                print(
+                    f"frame {fi:4d} kf={bool(row.is_keyframe)} "
+                    f"acc={int(row.mapping.accepted):5d} (chunked)"
+                )
+
+        def alloc():
+            return (np.empty((chunk, h, w), np.uint8),
+                    np.empty((chunk, h, w), bool))
+
+        def fill_row(bufs, k):
+            g, m = next(stream)
+            bufs[0][k] = g      # f32 exact-int -> u8 cast
+            bufs[1][k] = m
+
+        def dispatch(bufs):
+            nonlocal state
+            state, res = monocular_run(
+                state, jnp.asarray(bufs[0]), jnp.asarray(bufs[1]), K, cfg
+            )
+            return res
+
+        done = _run_chunks(
+            len(items) - 1, chunk, alloc, fill_row, dispatch, on_frame
+        )
+        wall = time.perf_counter() - t_sec
+        secs.extend([wall / max(done, 1)] * done)
+        start_fi = 1 + done
+
+    for fi in range(start_fi, len(items)):
+        item = items[fi]
         gray, mask = next(stream)
         t0 = time.perf_counter()
         state, res = monocular_step(state, jnp.asarray(gray), jnp.asarray(mask), K, cfg)
@@ -161,27 +314,44 @@ def run_rgbd(
     undistort: bool = True,
     verbose: bool = False,
     metrics=None,
+    chunk: int = 0,
 ):
     """RGB-D frame-to-frame tracking (odometrizeUsingDepth mode).  Depth
     pixels with no measurement get sigma 1.0, valid ones ``depth_sigma``
-    (transform.cpp:74 convention).  Returns (timestamps, poses, secs)."""
+    (transform.cpp:74 convention).  Returns (timestamps, poses, secs).
+
+    ``chunk`` > 1: chunked device-side driver (see ``run_monocular``) —
+    ships raw uint8 gray + uint16 depth counts per chunk and runs
+    ``rgbd_run_raw`` (conversions + sigma synthesis on device)."""
     from dvo_tpu.utils.datasets import TUM_DEPTH_SCALE
 
     srcmap = build_undistort_map(calib) if undistort and calib.distortion is not None else None
     K = jnp.asarray(calib.K)
     items = list(sequence)[:max_frames]
+    use_chunk = bool(chunk and chunk > 1) and len(items) > chunk
     loaders: list = []
     gray_stream = _image_stream(
-        [it.gray_path for it in items], 1 / 255.0, srcmap, loaders=loaders
+        [it.gray_path for it in items], 1.0 if use_chunk else 1 / 255.0,
+        srcmap, loaders=loaders,
     )
     depth_stream = _image_stream(
-        [it.depth_path for it in items], 1.0 / TUM_DEPTH_SCALE, srcmap,
+        [it.depth_path for it in items],
+        1.0 if use_chunk else 1.0 / TUM_DEPTH_SCALE, srcmap,
         loaders=loaders,
     )
+
+    def prep_raw():
+        """(gray u8, mask, depth u16 counts) — chunked-mode row."""
+        gray, mask = next(gray_stream)
+        depth, _dmask = next(depth_stream)
+        return gray, mask, depth
 
     def prep(_item):
         gray, mask = next(gray_stream)
         depth, _dmask = next(depth_stream)
+        if use_chunk:           # raw-count streams: normalize on host here
+            gray = gray.astype(np.float32) * np.float32(1.0 / 255.0)
+            depth = depth.astype(np.float32) * np.float32(1.0 / TUM_DEPTH_SCALE)
         valid = depth > 1e-6
         sigma = np.where(valid, depth_sigma, 1.0).astype(np.float32)
         return gray, mask, depth.astype(np.float32), sigma
@@ -193,7 +363,54 @@ def run_rgbd(
     poses = [np.eye(4, dtype=np.float32)]
     times = [items[0].timestamp]
     secs = []
-    for item in items[1:]:
+
+    start_fi = 1
+    if use_chunk:
+        from dvo_tpu.models.odometry import rgbd_run_raw
+
+        h, w = gray.shape
+        t_sec = time.perf_counter()
+        n_done = [0]
+
+        def on_frame(step_idx, row):
+            fi = 1 + step_idx
+            n_done[0] += 1
+            poses.append(np.asarray(row.T_world))
+            times.append(items[fi].timestamp)
+            if metrics is not None:
+                avg = (time.perf_counter() - t_sec) / n_done[0]
+                metrics.log_frame(row, avg, items[fi].timestamp)
+            if verbose:
+                print(f"frame {fi:4d} (chunked)")
+
+        def alloc():
+            return (np.empty((chunk, h, w), np.uint8),
+                    np.empty((chunk, h, w), bool),
+                    np.empty((chunk, h, w), np.uint16))
+
+        def fill_row(bufs, k):
+            g, m, d = prep_raw()
+            bufs[0][k] = g
+            bufs[1][k] = m
+            bufs[2][k] = d
+
+        def dispatch(bufs):
+            nonlocal state
+            state, res = rgbd_run_raw(
+                state, jnp.asarray(bufs[0]), jnp.asarray(bufs[1]),
+                jnp.asarray(bufs[2]), K, cfg, TUM_DEPTH_SCALE, depth_sigma,
+            )
+            return res
+
+        done = _run_chunks(
+            len(items) - 1, chunk, alloc, fill_row, dispatch, on_frame
+        )
+        wall = time.perf_counter() - t_sec
+        secs.extend([wall / max(done, 1)] * done)
+        start_fi = 1 + done
+
+    for fi in range(start_fi, len(items)):
+        item = items[fi]
         gray, mask, depth, sigma = prep(item)
         t0 = time.perf_counter()
         state, res = rgbd_step(
@@ -222,6 +439,7 @@ def run_kinect(
     undistort: bool = True,
     verbose: bool = False,
     metrics=None,
+    chunk: int = 0,
 ):
     """Kinect v2 dual-camera pipeline (reference KinectLoader::getMappedImages,
     loader.cpp:90-101 + test/kinect-vo.cpp): undistort color and depth with
@@ -234,7 +452,9 @@ def run_kinect(
     measured depth every frame (test/sequence.cpp).
 
     The registration is part of the jitted device program — the host only
-    decodes and undistorts.
+    decodes and undistorts.  ``chunk`` > 1: chunked device-side driver
+    (see ``run_monocular``) — raw uint8/uint16 chunks, registration vmapped
+    inside the chunk program.
     """
     from dvo_tpu.ops.warp import map_depth_to_gray
 
@@ -256,27 +476,51 @@ def run_kinect(
     depth_K = jnp.asarray(kcalib.depth.K)
     invT = jnp.asarray(kcalib.invT)
 
+    from dvo_tpu.utils.datasets import TUM_DEPTH_SCALE
+
     @jax.jit
     def register(gray, gray_mask, depth):
         return map_depth_to_gray(depth, gray, gray_mask, rgb_K, depth_K, invT)
 
-    def prep(item):
-        gray = load_gray_normalized(item.gray_path)
-        depth = load_depth_meters(item.depth_path)
-        if rgb_map is not None:
-            gray, gmask = remap_nearest(gray, rgb_map, border=0.0)
-        else:
-            gmask = np.ones_like(gray, bool)
-        if depth_map is not None:
-            depth, _ = remap_nearest(depth, depth_map, border=0.0)
-        mapped, mask, sigma = register(
-            jnp.asarray(gray.astype(np.float32)),
-            jnp.asarray(gmask),
-            jnp.asarray(depth.astype(np.float32)),
-        )
-        return mapped, mask, jnp.asarray(depth.astype(np.float32)), sigma
+    @jax.jit
+    def register_chunk(grays_u8, gmasks, depths_u16):
+        """Registration for a whole chunk, raw counts in: u8 -> [0,1] and
+        u16 -> meters by the same f32 divisions the host loader uses
+        (datasets.load_gray_normalized / load_depth_meters), then the
+        per-frame registration vmapped."""
+        g = grays_u8.astype(jnp.float32) / 255.0
+        d = depths_u16.astype(jnp.float32) / jnp.float32(TUM_DEPTH_SCALE)
+        mapped, mask, sigma = jax.vmap(
+            lambda gg, mm, dd: map_depth_to_gray(dd, gg, mm, rgb_K, depth_K, invT)
+        )(g, gmasks, d)
+        return mapped, mask, d, sigma
 
     items = list(sequence)[:max_frames]
+    use_chunk = bool(chunk and chunk > 1) and len(items) > chunk
+    # Both paths decode through the same (native-prefetch) streams at raw
+    # scale so chunked and per-frame results are bit-identical.
+    loaders: list = []
+    gray_stream = _image_stream(
+        [it.gray_path for it in items], 1.0, rgb_map, loaders=loaders
+    )
+    depth_stream = _image_stream(
+        [it.depth_path for it in items], 1.0, depth_map, loaders=loaders
+    )
+
+    def prep_raw():
+        gray, gmask = next(gray_stream)
+        depth, _ = next(depth_stream)
+        return gray, gmask, depth
+
+    def prep(_item):
+        gray, gmask, depth = prep_raw()
+        gray = gray.astype(np.float32) / 255.0
+        depth = depth.astype(np.float32) / np.float32(TUM_DEPTH_SCALE)
+        mapped, mask, sigma = register(
+            jnp.asarray(gray), jnp.asarray(gmask), jnp.asarray(depth)
+        )
+        return mapped, mask, jnp.asarray(depth), sigma
+
     mapped, mask, depth, sigma = prep(items[0])
     poses = [np.eye(4, dtype=np.float32)]
     times = [items[0].timestamp]
@@ -284,35 +528,96 @@ def run_kinect(
 
     if mode == "rgbd":
         state = rgbd_init(mapped, mask, depth, sigma, depth_K, cfg)
-        for item in items[1:]:
-            mapped, mask, depth, sigma = prep(item)
-            t0 = time.perf_counter()
-            state, res = rgbd_step(state, mapped, mask, depth, sigma, depth_K, cfg)
-            device_sync(res.T_world)
-            secs.append(time.perf_counter() - t0)
-            poses.append(np.asarray(res.T_world))
-            times.append(item.timestamp)
-            if metrics is not None:
-                metrics.log_frame(res, secs[-1], item.timestamp)
-            if verbose:
-                print(f"frame {int(state.frame_count)-1:4d} {secs[-1]*1e3:7.1f} ms")
     else:
         state = monocular_init_with_depth(
             mapped, mask, depth, sigma, depth_K, jax.random.PRNGKey(0), cfg
         )
-        for item in items[1:]:
-            mapped, mask, _, _ = prep(item)
-            t0 = time.perf_counter()
-            state, res = monocular_step(state, mapped, mask, depth_K, cfg)
-            device_sync(res.T_world)
-            secs.append(time.perf_counter() - t0)
-            poses.append(np.asarray(res.T_world))
-            times.append(item.timestamp)
+
+    start_fi = 1
+    if use_chunk:
+        from dvo_tpu.models.odometry import monocular_run, rgbd_run
+
+        t_sec = time.perf_counter()
+        n_done = [0]
+
+        def on_frame(step_idx, row):
+            fi = 1 + step_idx
+            n_done[0] += 1
+            poses.append(np.asarray(row.T_world))
+            times.append(items[fi].timestamp)
             if metrics is not None:
-                metrics.log_frame(res, secs[-1], item.timestamp)
+                avg = (time.perf_counter() - t_sec) / n_done[0]
+                metrics.log_frame(row, avg, items[fi].timestamp)
             if verbose:
-                print(
-                    f"frame {int(state.frame_count)-1:4d} kf={bool(res.is_keyframe)} "
-                    f"{secs[-1]*1e3:7.1f} ms"
+                print(f"frame {fi:4d} (chunked)")
+
+        probe_g, probe_m, probe_d = prep_raw()
+        pending_first = [(probe_g, probe_m, probe_d)]
+        gshape, dshape = probe_g.shape, probe_d.shape
+
+        def alloc():
+            return (np.empty((chunk,) + gshape, np.uint8),
+                    np.empty((chunk,) + gshape, bool),
+                    np.empty((chunk,) + dshape, np.uint16))
+
+        def fill_row(bufs, k):
+            if pending_first:
+                g, m, d = pending_first.pop()
+            else:
+                g, m, d = prep_raw()
+            bufs[0][k] = g
+            bufs[1][k] = m
+            bufs[2][k] = d
+
+        def dispatch(bufs):
+            nonlocal state
+            mapped_c, mask_c, d_c, sigma_c = register_chunk(
+                jnp.asarray(bufs[0]), jnp.asarray(bufs[1]), jnp.asarray(bufs[2])
+            )
+            if mode == "rgbd":
+                state, res = rgbd_run(
+                    state, mapped_c, mask_c, d_c, sigma_c, depth_K, cfg
                 )
+            else:
+                state, res = monocular_run(state, mapped_c, mask_c, depth_K, cfg)
+            return res
+
+        done = _run_chunks(
+            len(items) - 1, chunk, alloc, fill_row, dispatch, on_frame
+        )
+        wall = time.perf_counter() - t_sec
+        secs.extend([wall / max(done, 1)] * done)
+        start_fi = 1 + done
+        if start_fi < len(items):
+            pending_first.append(prep_raw())
+
+    def prep_tail():
+        if use_chunk and pending_first:
+            gray, gmask, d = pending_first.pop()
+            gray = gray.astype(np.float32) / 255.0
+            d = d.astype(np.float32) / np.float32(TUM_DEPTH_SCALE)
+            mapped, mask, sigma = register(
+                jnp.asarray(gray), jnp.asarray(gmask), jnp.asarray(d)
+            )
+            return mapped, mask, jnp.asarray(d), sigma
+        return prep(None)
+
+    for fi in range(start_fi, len(items)):
+        item = items[fi]
+        mapped, mask, depth_f, sigma = prep_tail()
+        t0 = time.perf_counter()
+        if mode == "rgbd":
+            state, res = rgbd_step(state, mapped, mask, depth_f, sigma, depth_K, cfg)
+        else:
+            state, res = monocular_step(state, mapped, mask, depth_K, cfg)
+        device_sync(res.T_world)
+        secs.append(time.perf_counter() - t0)
+        poses.append(np.asarray(res.T_world))
+        times.append(item.timestamp)
+        if metrics is not None:
+            metrics.log_frame(res, secs[-1], item.timestamp)
+        if verbose:
+            print(f"frame {int(state.frame_count)-1:4d} {secs[-1]*1e3:7.1f} ms")
+    for ld in loaders:
+        ld.close()
     return np.asarray(times), np.stack(poses), np.asarray(secs)
