@@ -107,35 +107,54 @@ def test_kinect_50mm_known_translation():
     assert np.abs(total).max() > 0.6 * np.linalg.norm(total), total
 
 
-def _register_seq(name, n, stride=1):
+def _register_seq(name, n, stride=1, undistort=False):
     """Real RGB-D frames registered to the 512x424 depth camera (the
     run_kinect data path: map_depth_to_gray with the nominal factory
-    extrinsics)."""
+    extrinsics).  ``undistort=True`` additionally applies the per-camera
+    undistortion remaps first — the full production prep."""
     import jax
     import jax.numpy as jnp
     from PIL import Image
 
     from dvo_tpu.ops.warp import map_depth_to_gray
-    from dvo_tpu.utils.datasets import InfoSequence, KinectCalibration
+    from dvo_tpu.utils.datasets import (
+        InfoSequence,
+        KinectCalibration,
+        build_undistort_map,
+        remap_nearest,
+    )
 
     seq = list(InfoSequence(os.path.join(DATA, name, "info.txt")))[::stride][:n]
     kcal = KinectCalibration.kinect_v2()
     rgb_K = jnp.asarray(kcal.rgb.K)
     depth_K = jnp.asarray(kcal.depth.K)
     invT = jnp.asarray(kcal.invT)
+    rgb_map = depth_map = None
+    if undistort:
+        if kcal.rgb.distortion is not None:
+            rgb_map = build_undistort_map(kcal.rgb)
+        if kcal.depth.distortion is not None:
+            depth_map = build_undistort_map(kcal.depth)
 
     @jax.jit
-    def register(g, d):
-        return map_depth_to_gray(
-            d, g, jnp.ones_like(g, dtype=bool), rgb_K, depth_K, invT
-        )
+    def register(g, gm, d):
+        return map_depth_to_gray(d, g, gm, rgb_K, depth_K, invT)
 
     out = []
     for it in seq:
         g = np.asarray(Image.open(it.gray_path).convert("L"), np.float32) / 255.0
         d = np.asarray(Image.open(it.depth_path), np.float32) / 5000.0
-        mg, m, sg = register(jnp.asarray(g), jnp.asarray(d))
-        out.append((np.asarray(mg), np.asarray(m), d, np.asarray(sg)))
+        if rgb_map is not None:
+            g, gm = remap_nearest(g, rgb_map, border=0.0)
+        else:
+            gm = np.ones_like(g, bool)
+        if depth_map is not None:
+            d, _ = remap_nearest(d, depth_map, border=0.0)
+        mg, m, sg = register(
+            jnp.asarray(g.astype(np.float32)), jnp.asarray(gm),
+            jnp.asarray(d.astype(np.float32)),
+        )
+        out.append((np.asarray(mg), np.asarray(m), d.astype(np.float32), np.asarray(sg)))
     return out, np.asarray(kcal.depth.K)
 
 
@@ -243,6 +262,116 @@ def test_kinect50mm_epipolar_observations_vs_measured_depth():
     assert float(np.median(np.abs(err))) < 0.20, float(np.median(np.abs(err)))
     assert abs(float(np.median(err))) < 0.10, float(np.median(err))
     assert float(np.mean(np.abs(err) < 0.1)) > 0.35, float(np.mean(np.abs(err) < 0.1))
+
+
+def test_mono_bootstrap_rotation_1deg_real():
+    """Reference mode 1 on real pixels, rotation leg: the PURE monocular
+    pipeline — depth bootstrapped from N(1.5, 0.5) noise (frame.hpp:12-22),
+    no sensor depth ever entering the VO state — over the 1 deg/frame
+    rotation rig.  Rotation tracking is nearly depth-independent, so even
+    with pure-noise depth the recovered per-frame rotation must match the
+    rig (measured: median 1.013 deg/frame, nominal 1.0) while translation
+    stays parked (measured: 3-8 mm total wander)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dvo_tpu.models.odometry import monocular_init, monocular_step
+
+    frames, K = _register_seq("KINECT_1DEG", 21, undistort=True)
+    Kd = jnp.asarray(K)
+    cfg = DVOConfig.monocular()
+    mg, m, _d, _sg = frames[0]
+    state = monocular_init(
+        jnp.asarray(mg), jnp.asarray(m), Kd, jax.random.PRNGKey(0), cfg
+    )
+    poses = [np.eye(4, dtype=np.float32)]
+    for mg, m, _d, _sg in frames[1:]:
+        state, res = monocular_step(state, jnp.asarray(mg), jnp.asarray(m), Kd, cfg)
+        poses.append(np.asarray(res.T_world))
+    poses = np.stack(poses)
+    assert np.all(np.isfinite(poses))
+    rots = []
+    for i in range(1, len(poses)):
+        rel = np.linalg.inv(poses[i - 1]) @ poses[i]
+        cosang = np.clip((np.trace(rel[:3, :3]) - 1) / 2, -1, 1)
+        rots.append(np.degrees(np.arccos(cosang)))
+    med_r = float(np.median(rots))
+    assert 0.85 <= med_r <= 1.15, (med_r, rots)
+    # Translation stays parked (the rig only rotates); the monocular scale
+    # is arbitrary but noise-depth tracking must not hallucinate motion.
+    assert float(np.linalg.norm(poses[-1][:3, 3])) < 0.03, poses[-1][:3, 3]
+
+
+@pytest.mark.slow
+def test_mono_bootstrap_depth_convergence_real():
+    """Reference mode 1 on real pixels, mapping leg (VERDICT round-3 item 3
+    — the semi-dense-VO party trick): the full monocular pipeline with
+    NOISE-bootstrapped depth over free-motion kinectv2_01 must CONVERGE its
+    depth field toward the (registered, never-fed-to-VO) sensor depth.
+
+    Gates, from the measured run (57 frames): epipolar accept counts ramp
+    from single digits to hundreds per update frame; the converged-pixel
+    set (sigma < 0.3) grows from 0 to ~300+; the scale-aligned median
+    relative depth error over converged pixels dips to ~6-8% mid-run; the
+    trajectory stays rotation-sane (median 0.65 deg/frame handheld)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dvo_tpu.models.odometry import monocular_init, monocular_step
+    from dvo_tpu.ops.image import cull_image
+
+    n = 50
+    frames, K = _register_seq("kinectv2_01", n, undistort=True)
+    Kd = jnp.asarray(K)
+    cfg = DVOConfig.monocular()
+    culls = cfg.pyramid.culls
+    mg, m, d0, _sg = frames[0]
+    state = monocular_init(
+        jnp.asarray(mg), jnp.asarray(m), Kd, jax.random.PRNGKey(0), cfg
+    )
+
+    def cull_np(a):
+        return np.asarray(cull_image(jnp.asarray(a), culls))
+
+    sensor = cull_np(d0)
+    accepts, conv_px, rel_errs, rots = [], [], [], []
+    prev_T = np.eye(4)
+    for fi in range(1, n):
+        mg, m, d, _sg = frames[fi]
+        state, res = monocular_step(state, jnp.asarray(mg), jnp.asarray(m), Kd, cfg)
+        if bool(res.is_keyframe):
+            sensor = cull_np(d)
+        accepts.append(int(np.asarray(res.mapping.accepted)))
+        est = np.asarray(state.ref.base.depth)
+        sig = np.asarray(state.ref.base.sigma)
+        ok = (sensor > 0.3) & (sensor < 6.0) & (est > 0.05) & (sig < 0.3)
+        conv_px.append(int(ok.sum()))
+        if ok.sum() >= 50:
+            s = np.median(sensor[ok] / est[ok])
+            rel_errs.append(
+                float(np.median(np.abs(est[ok] * s - sensor[ok]) / sensor[ok]))
+            )
+        T = np.asarray(res.T_world)
+        rel = np.linalg.inv(prev_T) @ T
+        prev_T = T
+        cosang = np.clip((np.trace(rel[:3, :3]) - 1) / 2, -1, 1)
+        rots.append(np.degrees(np.arccos(cosang)))
+
+    accepts = np.asarray(accepts)
+    third = len(accepts) // 3
+    # Accept-rate ramp: the depth filter admits more observations as the
+    # priors tighten (measured: first third ~tens, last third ~thousands).
+    assert accepts[-third:].sum() > 3 * max(accepts[:third].sum(), 1), accepts
+    # The converged set grows from zero to hundreds of pixels (measured:
+    # 131-170 over frames 42-49, ~330 by frame 57; promotions transiently
+    # dip the count, so gate the recent maximum).
+    assert max(conv_px[-8:]) >= 110, conv_px
+    assert conv_px[-1] > 10 * max(conv_px[2], 1), conv_px
+    # Scale-aligned depth error against the sensor reaches <= 15% at the
+    # median (measured best ~6-8%).
+    assert rel_errs and min(rel_errs) <= 0.15, rel_errs
+    # Trajectory sanity: handheld rotation rate, no spin-outs.
+    assert float(np.median(rots)) < 2.0, rots
 
 
 def test_kinect_50mm_straightness():
