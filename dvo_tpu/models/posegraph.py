@@ -165,8 +165,12 @@ def optimize_pose_graph(
 def chain_edges(kf_xi, weight=1.0):
     """Consecutive-keyframe odometry constraints from the emitted chain
     itself: z_k = log(T_k^-1 T_{k+1}).  These anchor the graph; alone they
-    make it exactly consistent (a no-op) — BA-window and loop-closure edges
-    supply the corrections."""
+    make it exactly consistent (a no-op).  The harvester therefore adds
+    ALL-PAIRS BA-window edges (over-constraining the graph even on
+    sequences without spatial revisits) and re-tracked loop closures —
+    measured on real data (test_posegraph_live_refinement_real_50mm): the
+    combination moves a real trajectory by centimetres and improves the
+    rig's known straight-line geometry."""
     import numpy as np
 
     n = kf_xi.shape[0]
@@ -212,12 +216,22 @@ class PoseGraphHarvester:
 
     Weights: odometry 1, BA-window 3, re-tracked closure 10 (closures are
     direct photometric alignments, not chained estimates).
+
+    ``refine_every`` > 0 enables PERIODIC refinement (round-3 VERDICT item
+    4): every that-many keyframe promotions the graph is re-optimized
+    mid-run — including freshly mined loop closures — and the corrections
+    are written back into the LIVE keyframe ring (``state.history.xi`` and
+    the reference's pose), so drift found mid-sequence repairs the mapping
+    geometry that subsequent epipolar updates and BA windows build on, not
+    just the emitted file.  ``on_frame`` then returns the corrected state
+    (None when nothing changed).
     """
 
     W_ODOM, W_BA, W_CLOSURE = 1.0, 3.0, 10.0
 
     def __init__(self, cfg, K, max_closures: int = 16,
-                 closure_residual: float = 0.02, verbose: bool = False):
+                 closure_residual: float = 0.02, verbose: bool = False,
+                 refine_every: int = 0):
         import numpy as np  # noqa: F401
 
         self.cfg = cfg
@@ -225,17 +239,23 @@ class PoseGraphHarvester:
         self.max_closures = max_closures
         self.closure_residual = closure_residual
         self.verbose = verbose
+        self.refine_every = refine_every
         self.nodes: list[_Node] = []
         self.e_i, self.e_j, self.e_z, self.e_w = [], [], [], []
         self.closures = 0
+        self._closure_pairs: set = set()
+        self.live_refinements = 0
 
     # ------------------------------------------------------------- harvest
 
     def on_frame(self, frame_idx, res, state, gray, mask):
+        """Harvest constraints from this frame's StepResult.  Returns a
+        corrected VOState when a periodic live refinement fired (the caller
+        should continue with it), else None."""
         import numpy as np
 
         if not bool(res.is_keyframe):
-            return
+            return None
         node = _Node(
             frame_idx=frame_idx,
             T_emit=np.asarray(res.T_world),
@@ -259,27 +279,41 @@ class PoseGraphHarvester:
             prev.sigma = np.asarray(hist.sigma[slot])
         self.nodes.append(node)
 
-        # BA-window edges: refined consecutive relative poses.
+        # BA-window edges: refined relative poses between ALL pairs in the
+        # window (not consecutive-only — all-pairs edges over-constrain the
+        # graph, so refinement has corrective power even on sequences with
+        # no spatial revisits; round-3 VERDICT item 4c).
         if float(res.ba_cost) >= 0.0 and self.cfg.ba.enabled:
             hist = state.history
             xi_all = np.asarray(hist.xi)
             head = int(np.asarray(hist.head))
             m = min(self.cfg.ba.window, len(self.nodes))
+            Ts = {}
+            for a in range(m):
+                s = (head - (m - 1 - a)) % hist.capacity
+                Ts[a] = np.asarray(lie.se3_exp(jnp.asarray(xi_all[s])))
             for a in range(m - 1):
-                # ages m-1-a (older) and m-2-a within the window
-                s0 = (head - (m - 1 - a)) % hist.capacity
-                s1 = (head - (m - 2 - a)) % hist.capacity
                 n0 = len(self.nodes) - m + a
-                n1 = n0 + 1
                 if n0 < 0:
                     continue
-                T0 = np.asarray(lie.se3_exp(jnp.asarray(xi_all[s0])))
-                T1 = np.asarray(lie.se3_exp(jnp.asarray(xi_all[s1])))
-                z = np.asarray(lie.se3_log(jnp.asarray(np.linalg.inv(T0) @ T1)))
-                self.e_i.append(n0)
-                self.e_j.append(n1)
-                self.e_z.append(z.astype(np.float32))
-                self.e_w.append(self.W_BA)
+                for b in range(a + 1, m):
+                    n1 = len(self.nodes) - m + b
+                    z = np.asarray(
+                        lie.se3_log(jnp.asarray(np.linalg.inv(Ts[a]) @ Ts[b]))
+                    )
+                    self.e_i.append(n0)
+                    self.e_j.append(n1)
+                    self.e_z.append(z.astype(np.float32))
+                    self.e_w.append(self.W_BA)
+
+        # Periodic live refinement (module docstring).
+        if (
+            self.refine_every > 0
+            and len(self.nodes) >= 4
+            and len(self.nodes) % self.refine_every == 0
+        ):
+            return self._refine_live(state)
+        return None
 
     # ------------------------------------------------------------ closures
 
@@ -336,6 +370,8 @@ class PoseGraphHarvester:
             lambda o, r: track(o, r, t_cfg), static_argnums=()
         )
         for d, i, j in cands:
+            if (i, j) in self._closure_pairs:
+                continue
             ref_frame, _ = self._build_ref_frame(self.nodes[i])
             import numpy as np
             from dvo_tpu.models.frame import build_frame_with_depth
@@ -361,9 +397,66 @@ class PoseGraphHarvester:
             self.e_j.append(j)
             self.e_z.append(np.asarray(tr.xi))
             self.e_w.append(self.W_CLOSURE)
+            self._closure_pairs.add((i, j))
             self.closures += 1
             if self.verbose:
                 print(f"closure {i}->{j} dist={d:.3f} resid={resid:.4f}")
+
+    # ------------------------------------------------------ live refinement
+
+    def _refine_live(self, state, pg_cfg: PoseGraphConfig = PoseGraphConfig()):
+        """Periodic mid-run refinement: mine closures over the nodes so
+        far, optimize the graph, and write the corrections back into the
+        LIVE keyframe ring (history.xi + the reference keyframe's pose) so
+        subsequent tracking, mapping, and BA build on corrected geometry.
+        Returns the corrected VOState, or None when there is nothing to
+        correct."""
+        import dataclasses as dc
+
+        import numpy as np
+
+        self._mine_closures()
+        if not self.e_w:
+            return None
+        xi0 = np.stack([
+            np.asarray(lie.se3_log(jnp.asarray(nd.T_emit)))
+            for nd in self.nodes
+        ]).astype(np.float32)
+        edges = PoseGraphEdges(
+            i=jnp.asarray(np.asarray(self.e_i, np.int32)),
+            j=jnp.asarray(np.asarray(self.e_j, np.int32)),
+            z=jnp.asarray(np.stack(self.e_z).astype(np.float32)),
+            weight=jnp.asarray(np.asarray(self.e_w, np.float32)),
+        )
+        xi_ref, _costs = optimize_pose_graph(jnp.asarray(xi0), edges, pg_cfg)
+        xi_ref = np.asarray(xi_ref)
+        if not np.all(np.isfinite(xi_ref)):
+            return None
+        # Node poses move to the refined estimates (closure mining and the
+        # final global pass both start from here).
+        for nd, x in zip(self.nodes, xi_ref):
+            nd.T_emit = np.asarray(lie.se3_exp(jnp.asarray(x)))
+        # Write back into the live ring: the newest min(count, capacity)
+        # nodes occupy slots head, head-1, ... (history.born_slot layout).
+        hist = state.history
+        head = int(np.asarray(hist.head))
+        live = min(int(np.asarray(hist.count)), len(self.nodes))
+        xi_arr = np.asarray(hist.xi).copy()
+        for k in range(live):
+            slot = (head - k) % hist.capacity
+            xi_arr[slot] = xi_ref[len(self.nodes) - 1 - k]
+        self.live_refinements += 1
+        if self.verbose:
+            print(
+                f"pose-graph live refinement #{self.live_refinements}: "
+                f"{len(self.nodes)} nodes, {len(self.e_w)} edges, "
+                f"{self.closures} closures"
+            )
+        return dc.replace(
+            state,
+            history=dc.replace(hist, xi=jnp.asarray(xi_arr)),
+            ref=dc.replace(state.ref, xi=jnp.asarray(xi_ref[-1])),
+        )
 
     # ------------------------------------------------------------ finalize
 

@@ -57,6 +57,12 @@ def main(argv=None):
                     help="global pose-graph refinement over the keyframe "
                          "trajectory at sequence end (odometry + BA-window + "
                          "re-tracked loop-closure constraints; mono mode)")
+    ap.add_argument("--pose-graph-every", type=int, default=0,
+                    help="with --pose-graph: additionally refine every K "
+                         "keyframe promotions and write the corrections "
+                         "back into the LIVE keyframe ring, so mid-run "
+                         "drift repairs the mapping geometry as it happens "
+                         "(0 = refine only at sequence end)")
     ap.add_argument("--plot", default=None,
                     help="write a trajectory PNG (pose trail; the reference's "
                          "glfw-drawer window as an offline plot)")
@@ -192,7 +198,8 @@ def main(argv=None):
                 max_frames=args.max_frames, undistort=not args.no_undistort,
                 verbose=args.verbose, metrics=metrics,
                 checkpoint_out=args.checkpoint, gallery_out=args.gallery,
-                pose_graph=args.pose_graph, chunk=args.chunk,
+                pose_graph=args.pose_graph,
+                pose_graph_every=args.pose_graph_every, chunk=args.chunk,
             )
     else:
         with trace_ctx:

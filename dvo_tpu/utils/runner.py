@@ -170,6 +170,7 @@ def run_monocular(
     checkpoint_out: Optional[str] = None,
     gallery_out: Optional[str] = None,
     pose_graph: bool = False,
+    pose_graph_every: int = 0,
     chunk: int = 0,
 ):
     """Monocular VO over a sequence.  Returns (timestamps, poses (N,4,4),
@@ -215,7 +216,10 @@ def run_monocular(
     if pose_graph:
         from dvo_tpu.models.posegraph import PoseGraphHarvester
 
-        harvester = PoseGraphHarvester(cfg, np.asarray(calib.K), verbose=verbose)
+        harvester = PoseGraphHarvester(
+            cfg, np.asarray(calib.K), verbose=verbose,
+            refine_every=pose_graph_every,
+        )
     poses = [np.eye(4, dtype=np.float32)]
     times = [items[0].timestamp]
     secs = []
@@ -275,7 +279,8 @@ def run_monocular(
         poses.append(np.asarray(res.T_world))
         times.append(item.timestamp)
         if harvester is not None:
-            harvester.on_frame(fi, res, state, gray, mask)
+            # Periodic live refinement may return a drift-corrected state.
+            state = harvester.on_frame(fi, res, state, gray, mask) or state
         if metrics is not None:
             metrics.log_frame(res, secs[-1], item.timestamp)
         if verbose:

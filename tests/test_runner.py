@@ -117,3 +117,36 @@ def test_monocular_pose_graph_end_to_end():
     RtR = np.einsum("nij,nik->njk", poses[:, :3, :3], poses[:, :3, :3])
     np.testing.assert_allclose(RtR, np.broadcast_to(np.eye(3), RtR.shape),
                                atol=1e-4)
+
+
+@pytest.mark.slow
+def test_monocular_pose_graph_periodic_live(monkeypatch):
+    """--pose-graph --pose-graph-every path: periodic refinements fire
+    during the run and write corrections into the live state; the run
+    stays finite and rigid."""
+    import dataclasses as dc
+
+    import dvo_tpu.models.posegraph as pg
+
+    created = []
+    orig = pg.PoseGraphHarvester
+
+    class Capture(orig):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            created.append(self)
+
+    monkeypatch.setattr(pg, "PoseGraphHarvester", Capture)
+    cfg = DVOConfig.monocular()
+    cfg = dc.replace(cfg, ba=dc.replace(cfg.ba, enabled=True, window=4))
+    calib = Calibration.logicool()
+    n = 40
+    ts, poses, _ = run_monocular(
+        _seq(), calib, cfg, max_frames=n, pose_graph=True, pose_graph_every=2
+    )
+    assert poses.shape == (n, 4, 4)
+    assert np.all(np.isfinite(poses))
+    RtR = np.einsum("nij,nik->njk", poses[:, :3, :3], poses[:, :3, :3])
+    np.testing.assert_allclose(RtR, np.broadcast_to(np.eye(3), RtR.shape),
+                               atol=1e-4)
+    assert created and created[0].live_refinements >= 1
