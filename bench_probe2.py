@@ -400,6 +400,152 @@ def sec_phases():
         RESULTS[f"phase_ms_per_frame_{name}"] = per
 
 
+def sec_phases2():
+    """Round-4 finer attribution of the ~1.9 ms/frame orchestration share
+    (round-3 VERDICT items 2/7).  All loop-amortized over a 96-frame
+    on-device chunk:
+
+      full          - the shipping pipeline (warm start + deferred grads)
+      no_warm       - warm_start off: the constant-velocity prior's value
+      update_only   - keyframe policy never fires: no propagate/push/ring
+      promote_only  - promotes every frame: no epipolar update
+      build_scan    - lax.scan that ONLY builds frames (no track, no map):
+                      frame build + scan glue in isolation
+      build_nograd  - same without gradient planes: the deferred-gradient
+                      saving inside the scan
+    """
+    import dataclasses as dc
+
+    import bench
+    from dvo_tpu.config import DVOConfig
+    from dvo_tpu.models.frame import build_frame
+    from dvo_tpu.models.odometry import monocular_init, monocular_run
+
+    frames, K = bench._load_frames(97)
+    H, W = frames[0].shape
+    Kd = jnp.asarray(K)
+    mask = jnp.ones((H, W), bool)
+    rtt = RESULTS.get("rtt-floor", 0.0)
+    base = DVOConfig.monocular()
+    n = 96
+    masks = jnp.ones((n, H, W), bool)
+    dev = jax.device_put(np.stack(frames[1:n + 1]))
+    jax.block_until_ready(dev)
+
+    variants = {
+        "full": base,
+        "no_warm": dc.replace(
+            base, tracker=dc.replace(base.tracker, warm_start=False)
+        ),
+        "update_only": dc.replace(
+            base, mapper=dc.replace(base.mapper, min_movement=1e9,
+                                    max_forward=10 ** 8),
+        ),
+        "promote_only": dc.replace(
+            base, mapper=dc.replace(base.mapper, max_forward=1),
+        ),
+    }
+    for name, cfg in variants.items():
+        state = monocular_init(jnp.asarray(frames[0]), mask, Kd,
+                               jax.random.PRNGKey(0), cfg)
+
+        def prog(s, d):
+            _, res = monocular_run(s, d, masks, Kd, cfg)
+            return jnp.sum(res.T_world)
+
+        t = timed(f"phase2-{name}-96f", jax.jit(prog), state, dev)
+        per = (t - rtt) / n
+        print(f"  -> {per:.3f} ms/frame", flush=True)
+        RESULTS[f"phase2_ms_per_frame_{name}"] = per
+
+    key = jax.random.PRNGKey(0)
+    for grads in (True, False):
+
+        def build_prog(_z, d, _g=grads):
+            def step(carry, g):
+                fr = build_frame(
+                    g, mask, Kd, base.pyramid.levels, base.pyramid.culls,
+                    key, 0, base.init, with_grads=_g,
+                )
+                leaf = fr.base.gx if _g else fr.base.gray
+                return carry + leaf[0, 0], None
+
+            out, _ = lax.scan(step, jnp.float32(0), d)
+            return out
+
+        tag = "build_scan" if grads else "build_nograd"
+        t = timed(f"phase2-{tag}-96f", jax.jit(build_prog), jnp.float32(0), dev)
+        per = (t - rtt) / n
+        print(f"  -> {per:.3f} ms/frame", flush=True)
+        RESULTS[f"phase2_ms_per_frame_{tag}"] = per
+
+
+def sec_rgbd_phases():
+    """RGB-D phase breakdown at the real 512x424 kinect operating point
+    (round-3 VERDICT item 7: 8.2 ms/frame had >= 4 ms unattributed).
+    full vs iter1 (GN iterations beyond the first) vs a build-only scan
+    (frame build + scan glue)."""
+    import dataclasses as dc
+
+    import bench
+    from dvo_tpu.config import DVOConfig
+    from dvo_tpu.models.frame import build_frame_with_depth
+    from dvo_tpu.models.odometry import rgbd_init, rgbd_run
+
+    grays, depths, sigmas, K = bench._kinect_frames(17)
+    H, W = grays[0].shape
+    Kd = jnp.asarray(K)
+    mask = jnp.ones((H, W), bool)
+    rtt = RESULTS.get("rtt-floor", 0.0)
+    base = DVOConfig.rgbd()
+    n = 16
+    masks = jnp.ones((n, H, W), bool)
+    g_d, d_d, s_d = (
+        jax.device_put(np.stack(x[1:n + 1])) for x in (grays, depths, sigmas)
+    )
+    jax.block_until_ready((g_d, d_d, s_d))
+
+    variants = {
+        "full": base,
+        "no_warm": dc.replace(
+            base, tracker=dc.replace(base.tracker, warm_start=False)
+        ),
+        "iter1": dc.replace(
+            base, tracker=dc.replace(base.tracker, max_iterations=1)
+        ),
+    }
+    state0 = rgbd_init(jnp.asarray(grays[0]), mask, jnp.asarray(depths[0]),
+                       jnp.asarray(sigmas[0]), Kd, base)
+    for name, cfg in variants.items():
+
+        def prog(s, g, d, sg):
+            _, res = rgbd_run(s, g, masks, d, sg, Kd, cfg)
+            return jnp.sum(res.T_world)
+
+        t = timed(f"rgbd-phase-{name}-16f", jax.jit(prog), state0, g_d, d_d, s_d)
+        per = (t - rtt) / n
+        print(f"  -> {per:.3f} ms/frame", flush=True)
+        RESULTS[f"rgbd_phase_ms_per_frame_{name}"] = per
+
+    def build_prog(_z, g, d, sg):
+        def step(carry, inp):
+            gg, dd, ss = inp
+            fr = build_frame_with_depth(
+                gg, mask, dd, ss, Kd, base.pyramid.levels,
+                base.pyramid.culls, 0,
+            )
+            return carry + fr.base.gx[0, 0], None
+
+        out, _ = lax.scan(step, jnp.float32(0), (g, d, sg))
+        return out
+
+    t = timed("rgbd-phase-build-16f", jax.jit(build_prog), jnp.float32(0),
+              g_d, d_d, s_d)
+    per = (t - rtt) / n
+    print(f"  -> {per:.3f} ms/frame", flush=True)
+    RESULTS["rgbd_phase_ms_per_frame_build_scan"] = per
+
+
 def main():
     sections = sys.argv[1:] or ["rtt", "mxu", "track", "map", "reg",
                                 "framebuild", "pipeline"]
@@ -409,6 +555,7 @@ def main():
         "rtt": sec_rtt, "mxu": sec_mxu, "track": sec_track, "map": sec_map,
         "reg": sec_reg, "framebuild": sec_framebuild, "pipeline": sec_pipeline,
         "phases": sec_phases, "batched": sec_batched,
+        "phases2": sec_phases2, "rgbdphases": sec_rgbd_phases,
     }
     try:
         if "rtt" not in sections:

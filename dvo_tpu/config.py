@@ -61,6 +61,16 @@ class TrackerConfig:
     # Levenberg damping added to J^T J diagonal (0 = faithful Gauss-Newton;
     # the reference's DECOMP_SVD pseudo-inverse is emulated by a tiny ridge).
     damping: float = 1e-6
+    # Constant-velocity warm start (the reference always starts GN from
+    # identity, tracker.cpp:28): seed each frame's optimization with the
+    # motion prior composed from the previous relative pose and the last
+    # frame-to-frame velocity.  Converges to the same optimum from a closer
+    # start, so the early-exit driver executes fewer GN iterations.  The
+    # prior is discarded (identity start) when its norm exceeds
+    # ``warm_start_max_norm`` — a tracking glitch must not catapult the
+    # next frame out of the photometric basin.
+    warm_start: bool = True
+    warm_start_max_norm: float = 0.5
     # Iteration driver: True runs the GN loop as a ``lax.while_loop`` that
     # exits at convergence — the reference's post-update break
     # (tracker.cpp:68-73) as a real device-side early exit (typical

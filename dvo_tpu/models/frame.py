@@ -71,13 +71,23 @@ class Frame:
         return len(self.scenes)
 
 
-def _make_scene(gray, mask, depth, sigma, K) -> Scene:
-    gx, gy, mx, my = gradients(gray, mask)
+def _make_scene(gray, mask, depth, sigma, K, with_grads: bool = True) -> Scene:
+    if with_grads:
+        gx, gy, mx, my = gradients(gray, mask)
+        return Scene(gray=gray, mask=mask, depth=depth, sigma=sigma,
+                     gx=gx, gy=gy, gmask=mx & my, K=K)
+    # Gradients deferred (None = empty pytree subtree): only the REFERENCE
+    # keyframe's gradients are ever read (tracker samples ref.gx/gy; the
+    # mapper/BA read them from the keyframe ring), so non-keyframe frames
+    # skip the stencil work and the promote branch fills it in via
+    # ``with_gradients`` — a lax.cond-deferred cost paid on ~1 frame in 6
+    # (round-3 VERDICT item 2).
     return Scene(gray=gray, mask=mask, depth=depth, sigma=sigma,
-                 gx=gx, gy=gy, gmask=mx & my, K=K)
+                 gx=None, gy=None, gmask=None, K=K)
 
 
-def _pyramid(gray, mask, depth, sigma, K, levels: int) -> Tuple[Scene, ...]:
+def _pyramid(gray, mask, depth, sigma, K, levels: int,
+             with_grads: bool = True) -> Tuple[Scene, ...]:
     """Coarsest-first pyramid, every level re-culled from the base
     (frame.cpp:30-37 culls the base scene by levels-1-i)."""
     scenes = []
@@ -87,7 +97,7 @@ def _pyramid(gray, mask, depth, sigma, K, levels: int) -> Tuple[Scene, ...]:
             _make_scene(
                 cull_image(gray, t), cull_image(mask, t),
                 cull_image(depth, t), cull_image(sigma, t),
-                cull_intrinsic(K, t),
+                cull_intrinsic(K, t), with_grads,
             )
         )
     return tuple(scenes)
@@ -110,6 +120,7 @@ def build_frame(
     key: jax.Array,
     frame_id,
     init: InitConfig = InitConfig(),
+    with_grads: bool = True,
 ) -> Frame:
     """Monocular frame: depth bootstrapped from clamped Gaussian noise
     ~ N(1.5, 0.5) floored at 0.5, sigma = 0.5 (reference frame.hpp:12-22).
@@ -127,7 +138,7 @@ def build_frame(
     depth = jnp.maximum(depth, init.depth_floor)
     sigma = jnp.full((h, w), init.sigma, dtype=jnp.float32)
     return Frame(
-        scenes=_pyramid(gray, mask, depth, sigma, K, levels),
+        scenes=_pyramid(gray, mask, depth, sigma, K, levels, with_grads),
         xi=jnp.zeros(6, jnp.float32),
         relative_xi=jnp.zeros(6, jnp.float32),
         age=jnp.zeros((h, w), jnp.int32),
@@ -161,6 +172,21 @@ def build_frame_with_depth(
         age=jnp.zeros((h, w), jnp.int32),
         frame_id=jnp.asarray(frame_id, jnp.int32),
     )
+
+
+def with_gradients(frame: Frame) -> Frame:
+    """Fill in deferred gradient planes (see ``_make_scene``); scenes that
+    already carry gradients pass through unchanged."""
+    scenes = []
+    for s in frame.scenes:
+        if s.gx is not None:
+            scenes.append(s)
+        else:
+            gx, gy, mx, my = gradients(s.gray, s.mask)
+            scenes.append(
+                dataclasses.replace(s, gx=gx, gy=gy, gmask=mx & my)
+            )
+    return dataclasses.replace(frame, scenes=tuple(scenes))
 
 
 def with_pose(frame: Frame, relative_xi: jax.Array, ref_xi: jax.Array) -> Frame:

@@ -54,6 +54,8 @@ class VOState:
     ref: Frame            # current reference keyframe
     key: jax.Array        # PRNG state (depth bootstrap + filter resets)
     frame_count: jax.Array  # () int32 — id of the next frame
+    prev_rel: jax.Array   # (6,) previous frame's twist vs the current ref
+    vel: jax.Array        # (6,) last frame-to-frame twist (warm-start prior)
 
 
 @jax.tree_util.register_dataclass
@@ -79,7 +81,9 @@ def monocular_init(gray, mask, K, key, cfg: DVOConfig = DVOConfig.monocular()) -
     h, w = frame.base.shape
     history = push(KeyframeHistory.create(cfg.mapper.history_capacity, h, w), frame)
     return VOState(
-        history=history, ref=frame, key=key, frame_count=jnp.asarray(1, jnp.int32)
+        history=history, ref=frame, key=key,
+        frame_count=jnp.asarray(1, jnp.int32),
+        prev_rel=jnp.zeros(6, jnp.float32), vel=jnp.zeros(6, jnp.float32),
     )
 
 
@@ -102,7 +106,9 @@ def monocular_init_with_depth(
     h, w = frame.base.shape
     history = push(KeyframeHistory.create(cfg.mapper.history_capacity, h, w), frame)
     return VOState(
-        history=history, ref=frame, key=key, frame_count=jnp.asarray(1, jnp.int32)
+        history=history, ref=frame, key=key,
+        frame_count=jnp.asarray(1, jnp.int32),
+        prev_rel=jnp.zeros(6, jnp.float32), vel=jnp.zeros(6, jnp.float32),
     )
 
 
@@ -111,14 +117,28 @@ def monocular_step(state: VOState, gray, mask, K, cfg: DVOConfig = DVOConfig.mon
     """One full frame: track -> pose -> map -> regularize
     (system.hpp:44-74 + mapper.cpp:16-33).  Returns (state', StepResult)."""
     key, k_frame, k_reset = jax.random.split(state.key, 3)
+    # Gradients deferred: only the promote branch needs this frame's
+    # gradient pyramid (frame.with_gradients there) — tracking reads the
+    # REFERENCE's gradients, so ~5 of 6 frames skip the stencil work.
     frame = build_frame(
         gray, mask, K, cfg.pyramid.levels, cfg.pyramid.culls,
-        k_frame, state.frame_count, cfg.init,
+        k_frame, state.frame_count, cfg.init, with_grads=False,
     )
 
     # --- tracking (system.hpp:57-58) ---
-    tr = track(frame, state.ref, cfg.tracker)
+    if cfg.tracker.warm_start:
+        # Constant-velocity prior (config.py warm_start): discard
+        # implausibly large priors rather than risk leaving the basin.
+        xi0 = lie.compose(state.prev_rel, state.vel)
+        xi0 = jnp.where(
+            jnp.linalg.norm(xi0) < cfg.tracker.warm_start_max_norm,
+            xi0, jnp.zeros(6, jnp.float32),
+        )
+    else:
+        xi0 = None
+    tr = track(frame, state.ref, cfg.tracker, xi0=xi0)
     frame = with_pose(frame, tr.xi, state.ref.xi)
+    vel = lie.compose(-state.prev_rel, tr.xi)
 
     # --- mapping (mapper.cpp:16-33) ---
     need_kf = need_new_keyframe(
@@ -134,7 +154,9 @@ def monocular_step(state: VOState, gray, mask, K, cfg: DVOConfig = DVOConfig.mon
             base.depth, base.sigma, state.ref.age, frame.relative_xi, base.K,
             cfg.mapper, cfg.init,
         )
-        new_ref = with_depth(frame, d, s, age)
+        from dvo_tpu.models.frame import with_gradients
+
+        new_ref = with_gradients(with_depth(frame, d, s, age))
         # The outgoing keyframe's ring slot still holds its push-time maps;
         # write its final (depth-updated, regularized) state back before the
         # new keyframe joins, so the BA window sees current data.
@@ -206,7 +228,12 @@ def monocular_step(state: VOState, gray, mask, K, cfg: DVOConfig = DVOConfig.mon
     ref = with_depth(ref, reg)
 
     new_state = VOState(
-        history=history, ref=ref, key=key, frame_count=state.frame_count + 1
+        history=history, ref=ref, key=key, frame_count=state.frame_count + 1,
+        # On promotion this frame IS the new reference: the next frame's
+        # twist starts from identity with the frame-to-frame velocity as
+        # its prior (warm_start).
+        prev_rel=jnp.where(need_kf, jnp.zeros(6, jnp.float32), tr.xi),
+        vel=vel,
     )
     # When this frame was promoted, `ref` IS this frame (with its pose
     # possibly BA-refined) — emit that pose so refinements reach the
@@ -249,13 +276,15 @@ def monocular_run(state: VOState, grays, masks, K, cfg: DVOConfig = DVOConfig.mo
 class RGBDState:
     ref: Frame
     frame_count: jax.Array
+    vel: jax.Array        # (6,) last frame-to-frame twist (warm-start prior)
 
 
 def rgbd_init(gray, mask, depth, sigma, K, cfg: DVOConfig = DVOConfig.rgbd()) -> RGBDState:
     frame = build_frame_with_depth(
         gray, mask, depth, sigma, K, cfg.pyramid.levels, cfg.pyramid.culls, 0
     )
-    return RGBDState(ref=frame, frame_count=jnp.asarray(1, jnp.int32))
+    return RGBDState(ref=frame, frame_count=jnp.asarray(1, jnp.int32),
+                     vel=jnp.zeros(6, jnp.float32))
 
 
 @partial(jax.jit, static_argnames="cfg")
@@ -267,7 +296,16 @@ def rgbd_step(state: RGBDState, gray, mask, depth, sigma, K, cfg: DVOConfig = DV
         gray, mask, depth, sigma, K,
         cfg.pyramid.levels, cfg.pyramid.culls, state.frame_count,
     )
-    tr = track(frame, state.ref, cfg.tracker)
+    if cfg.tracker.warm_start:
+        # Frame-to-frame mode: the previous relative twist IS the
+        # constant-velocity prior (config.py warm_start).
+        xi0 = jnp.where(
+            jnp.linalg.norm(state.vel) < cfg.tracker.warm_start_max_norm,
+            state.vel, jnp.zeros(6, jnp.float32),
+        )
+    else:
+        xi0 = None
+    tr = track(frame, state.ref, cfg.tracker, xi0=xi0)
     frame = with_pose(frame, tr.xi, state.ref.xi)
     result = StepResult(
         T_world=lie.se3_exp(frame.xi),
@@ -277,7 +315,8 @@ def rgbd_step(state: RGBDState, gray, mask, depth, sigma, K, cfg: DVOConfig = DV
         mapping=DepthUpdateStats.zero(),
         ba_cost=jnp.asarray(-1.0, jnp.float32),
     )
-    return RGBDState(ref=frame, frame_count=state.frame_count + 1), result
+    return RGBDState(ref=frame, frame_count=state.frame_count + 1,
+                     vel=tr.xi), result
 
 
 @partial(jax.jit, static_argnames="cfg")
