@@ -67,10 +67,27 @@ def test_chunked_matches_per_frame():
     (the scanned and standalone step compile to different fusion/reduction
     orders — observed ~3e-5; a frame-indexing or normalization bug would
     show as >=1e-2)."""
+    import json
+    import tempfile
+
+    from dvo_tpu.utils.metrics import MetricsLogger
+
     cfg = DVOConfig.monocular()
     calib = Calibration.logicool()
     ts_a, poses_a, _ = run_monocular(_seq(), calib, cfg, max_frames=13)
-    ts_b, poses_b, _ = run_monocular(_seq(), calib, cfg, max_frames=13, chunk=4)
+    with tempfile.TemporaryDirectory() as td:
+        mpath = os.path.join(td, "m.jsonl")
+        metrics = MetricsLogger(mpath)
+        ts_b, poses_b, _ = run_monocular(
+            _seq(), calib, cfg, max_frames=13, chunk=4, metrics=metrics
+        )
+        metrics.close()
+        rows = [json.loads(l) for l in open(mpath)]
+    # Per-frame metrics flow from the packed chunk results: one row per
+    # tracked frame, with real signals in them.
+    assert len(rows) == 12
+    assert any(r["keyframe"] for r in rows)
+    assert all(len(r["gn_iters"]) == cfg.pyramid.levels for r in rows)
     assert poses_b.shape == poses_a.shape
     np.testing.assert_array_equal(ts_a, ts_b)
     np.testing.assert_allclose(poses_a, poses_b, atol=1e-3)
