@@ -187,13 +187,15 @@ def run_monocular(
     with uint8 inputs normalized on device, overlapping host decode, input
     transfer, device execution, and result drain — the per-frame dispatch +
     sync of the default path costs one host round-trip per frame, which on
-    a tunneled/remote device caps throughput far below the chip's.  The
-    inputs are bit-identical to the per-frame path and the trajectory
-    matches it to XLA program-boundary float noise (~1e-5 scale; the
-    scanned and standalone step compile with different fusion/reduction
-    orders — tests/test_runner.py::test_chunked_matches_per_frame); only
-    per-frame wall-clock attribution coarsens to the chunk average.  The
-    tail (len-1 mod chunk) runs per-frame."""
+    a tunneled/remote device caps throughput far below the chip's.  Gray
+    from color sources is quantized to integer levels (rint -> uint8, the
+    reference's own cvtColor->8U semantics; 8-bit gray and 16-bit depth
+    sources are exact), and the scanned vs standalone step compile with
+    different fusion/reduction orders, so the trajectory matches the
+    per-frame path to ~1e-5 float noise
+    (tests/test_runner.py::test_chunked_matches_per_frame); per-frame
+    wall-clock attribution coarsens to the chunk average.  The tail
+    (len-1 mod chunk) runs per-frame on the same quantized pixels."""
     srcmap = build_undistort_map(calib) if undistort and calib.distortion is not None else None
     K = jnp.asarray(calib.K)
     items = list(sequence)[:max_frames]
@@ -208,7 +210,7 @@ def run_monocular(
     )
     gray, mask = next(stream)
     if use_chunk:
-        gray = gray.astype(np.uint8)
+        gray = np.rint(gray).astype(np.uint8)
     state = monocular_init(
         jnp.asarray(gray), jnp.asarray(mask), K, jax.random.PRNGKey(seed), cfg
     )
@@ -252,7 +254,11 @@ def run_monocular(
 
         def fill_row(bufs, k):
             g, m = next(stream)
-            bufs[0][k] = g      # f32 exact-int -> u8 cast
+            # Color sources decode to fractional luma; round to the nearest
+            # gray level (the reference's own cv::cvtColor->8U semantics,
+            # loader.cpp:59).  8-bit gray sources are already exact ints.
+            np.rint(g, out=g)
+            bufs[0][k] = g
             bufs[1][k] = m
 
         def dispatch(bufs):
@@ -272,6 +278,10 @@ def run_monocular(
     for fi in range(start_fi, len(items)):
         item = items[fi]
         gray, mask = next(stream)
+        if use_chunk:
+            # The raw-count stream feeds the tail too: quantize exactly as
+            # the chunk rows were and let the device normalize the uint8.
+            gray = np.rint(gray).astype(np.uint8)
         t0 = time.perf_counter()
         state, res = monocular_step(state, jnp.asarray(gray), jnp.asarray(mask), K, cfg)
         device_sync(res.T_world)
@@ -354,8 +364,9 @@ def run_rgbd(
     def prep(_item):
         gray, mask = next(gray_stream)
         depth, _dmask = next(depth_stream)
-        if use_chunk:           # raw-count streams: normalize on host here
-            gray = gray.astype(np.float32) * np.float32(1.0 / 255.0)
+        if use_chunk:           # raw-count streams: normalize on host here,
+            # quantizing gray exactly as the chunked rows do (rint -> u8).
+            gray = np.rint(gray).astype(np.uint8).astype(np.float32) * np.float32(1.0 / 255.0)
             depth = depth.astype(np.float32) * np.float32(1.0 / TUM_DEPTH_SCALE)
         valid = depth > 1e-6
         sigma = np.where(valid, depth_sigma, 1.0).astype(np.float32)
@@ -395,9 +406,10 @@ def run_rgbd(
 
         def fill_row(bufs, k):
             g, m, d = prep_raw()
+            np.rint(g, out=g)   # fractional luma -> nearest gray level
             bufs[0][k] = g
             bufs[1][k] = m
-            bufs[2][k] = d
+            bufs[2][k] = d      # depth counts are exact ints
 
         def dispatch(bufs):
             nonlocal state
@@ -519,6 +531,10 @@ def run_kinect(
 
     def prep(_item):
         gray, gmask, depth = prep_raw()
+        if use_chunk:
+            # Quantize gray exactly as the chunked rows do (rint -> u8) so
+            # tail/init frames match the chunk frames' pixel values.
+            gray = np.rint(gray).astype(np.uint8)
         gray = gray.astype(np.float32) / 255.0
         depth = depth.astype(np.float32) / np.float32(TUM_DEPTH_SCALE)
         mapped, mask, sigma = register(
@@ -570,9 +586,10 @@ def run_kinect(
                 g, m, d = pending_first.pop()
             else:
                 g, m, d = prep_raw()
+            np.rint(g, out=g)   # fractional luma -> nearest gray level
             bufs[0][k] = g
             bufs[1][k] = m
-            bufs[2][k] = d
+            bufs[2][k] = d      # depth counts are exact ints
 
         def dispatch(bufs):
             nonlocal state
@@ -599,7 +616,7 @@ def run_kinect(
     def prep_tail():
         if use_chunk and pending_first:
             gray, gmask, d = pending_first.pop()
-            gray = gray.astype(np.float32) / 255.0
+            gray = np.rint(gray).astype(np.uint8).astype(np.float32) / 255.0
             d = d.astype(np.float32) / np.float32(TUM_DEPTH_SCALE)
             mapped, mask, sigma = register(
                 jnp.asarray(gray), jnp.asarray(gmask), jnp.asarray(d)

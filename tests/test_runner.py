@@ -61,12 +61,14 @@ def test_monocular_native_matches_fallback(monkeypatch):
 def test_chunked_matches_per_frame():
     """The chunked device-side driver (uint8 chunks, lax.scan of the step,
     packed result fetch) must emit the same trajectory as the per-frame
-    path, including across the chunk->tail boundary (13 = 3*4+1 leaves a
-    1-frame tail after three 4-chunks).  The inputs are bit-identical by
-    construction; the poses agree to XLA program-boundary float noise
-    (the scanned and standalone step compile to different fusion/reduction
-    orders — observed ~3e-5; a frame-indexing or normalization bug would
-    show as >=1e-2)."""
+    path, including across the chunk->tail boundary (14 frames = 13 steps
+    = three 4-chunks + a 1-frame per-frame tail).  The chunked path
+    quantizes color-decoded luma to integer gray levels (the reference's
+    own cvtColor->8U semantics) where the f32 per-frame path keeps the
+    fractional luma — a <=0.2%% pixel perturbation — and the scanned vs
+    standalone step compile with different fusion/reduction orders;
+    together observed ~3e-5 on pose entries (a frame-indexing or
+    normalization bug would show as >=1e-2)."""
     import json
     import tempfile
 
@@ -74,18 +76,18 @@ def test_chunked_matches_per_frame():
 
     cfg = DVOConfig.monocular()
     calib = Calibration.logicool()
-    ts_a, poses_a, _ = run_monocular(_seq(), calib, cfg, max_frames=13)
+    ts_a, poses_a, _ = run_monocular(_seq(), calib, cfg, max_frames=14)
     with tempfile.TemporaryDirectory() as td:
         mpath = os.path.join(td, "m.jsonl")
         metrics = MetricsLogger(mpath)
         ts_b, poses_b, _ = run_monocular(
-            _seq(), calib, cfg, max_frames=13, chunk=4, metrics=metrics
+            _seq(), calib, cfg, max_frames=14, chunk=4, metrics=metrics
         )
         metrics.close()
         rows = [json.loads(l) for l in open(mpath)]
-    # Per-frame metrics flow from the packed chunk results: one row per
-    # tracked frame, with real signals in them.
-    assert len(rows) == 12
+    # Per-frame metrics flow from the packed chunk results AND the tail:
+    # one row per tracked frame, with real signals in them.
+    assert len(rows) == 13
     assert any(r["keyframe"] for r in rows)
     assert all(len(r["gn_iters"]) == cfg.pyramid.levels for r in rows)
     assert poses_b.shape == poses_a.shape
@@ -110,8 +112,9 @@ def test_chunked_rgbd_matches_per_frame():
     from dvo_tpu.utils.runner import run_kinect
 
     kcal = KinectCalibration.kinect_v2()
-    ts_a, poses_a, _ = run_kinect(seq, kcal, mode="rgbd", max_frames=9)
-    ts_b, poses_b, _ = run_kinect(seq, kcal, mode="rgbd", max_frames=9, chunk=4)
+    # 10 frames = 9 steps = two 4-chunks + a 1-frame per-frame tail.
+    ts_a, poses_a, _ = run_kinect(seq, kcal, mode="rgbd", max_frames=10)
+    ts_b, poses_b, _ = run_kinect(seq, kcal, mode="rgbd", max_frames=10, chunk=4)
     np.testing.assert_array_equal(ts_a, ts_b)
     # Convergence-boundary noise: a GN early-exit flipping by one iteration
     # under different XLA fusion bounds per-frame divergence by the 5e-4
