@@ -170,3 +170,39 @@ def test_monocular_pose_graph_periodic_live(monkeypatch):
     np.testing.assert_allclose(RtR, np.broadcast_to(np.eye(3), RtR.shape),
                                atol=1e-4)
     assert created and created[0].live_refinements >= 1
+
+
+@pytest.mark.slow
+def test_chunked_run_rgbd_synthetic_dataset(tmp_path):
+    """run_rgbd's chunked path (u8 gray + u16 depth counts converted on
+    device by rgbd_run_raw) vs its per-frame path, on a dataset written by
+    the framework's own recorder (record_rgbd -> two-column info.txt)."""
+    import jax  # noqa: F401  (ensures backend pinned by conftest)
+
+    from dvo_tpu.utils.record import record_rgbd
+    from dvo_tpu.utils.runner import run_rgbd
+
+    rng = np.random.default_rng(3)
+    h, w = 64, 80
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = np.zeros((h, w), np.float32)
+    for _ in range(6):
+        fx, fy = rng.uniform(0.05, 0.4, 2)
+        ph = rng.uniform(0, 6.28, 2)
+        base += rng.uniform(0.3, 1.0) * np.sin(fx * xs + ph[0]) * np.sin(fy * ys + ph[1])
+    base = (base - base.min()) / (base.max() - base.min())
+    depth = (1.5 + 0.2 * np.sin(0.1 * xs) * np.cos(0.12 * ys)).astype(np.float32)
+    frames = [(np.roll(base, k, axis=1), depth) for k in range(10)]
+    out = str(tmp_path / "seq")
+    n = record_rgbd(iter(frames), out)
+    assert n == 10
+
+    from dvo_tpu.utils.datasets import Calibration, InfoSequence
+
+    K = np.array([[1.2 * w, 0, w / 2], [0, 1.2 * w, h / 2], [0, 0, 1]], np.float32)
+    calib = Calibration(K=K, distortion=None, resolution=(w, h))
+    seq = InfoSequence(os.path.join(out, "info.txt"))
+    ts_a, poses_a, _ = run_rgbd(seq, calib)                 # per-frame
+    ts_b, poses_b, _ = run_rgbd(seq, calib, chunk=4)        # 2 chunks + tail
+    np.testing.assert_array_equal(ts_a, ts_b)
+    np.testing.assert_allclose(poses_a, poses_b, atol=1e-3)
