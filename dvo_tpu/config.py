@@ -69,7 +69,13 @@ class TrackerConfig:
     # prior is discarded (identity start) when its norm exceeds
     # ``warm_start_max_norm`` — a tracking glitch must not catapult the
     # next frame out of the photometric basin.
-    warm_start: bool = True
+    # Default OFF (reference-faithful): in the NOISE-BOOTSTRAP monocular
+    # mode the early poses are depth-noise-driven, and a velocity prior
+    # built from them measurably slows the depth field's convergence
+    # (kinectv2_01 gate: converged-pixel peak 86 vs 131-170 without).  The
+    # RGB-D preset turns it ON — measured-depth tracking is coherent
+    # frame-to-frame and its 256x212 4-level GN is where iterations cost.
+    warm_start: bool = False
     warm_start_max_norm: float = 0.5
     # Iteration driver: True runs the GN loop as a ``lax.while_loop`` that
     # exits at convergence — the reference's post-update break
@@ -249,8 +255,14 @@ class DVOConfig:
 
     @staticmethod
     def rgbd() -> "DVOConfig":
-        """RGB-D tracking mode: 4 levels, 2x decimation (system.hpp:30,82)."""
-        return DVOConfig(pyramid=PyramidConfig(levels=4, culls=1))
+        """RGB-D tracking mode: 4 levels, 2x decimation (system.hpp:30,82).
+        Warm start on: frame-to-frame measured-depth tracking is coherent,
+        so the constant-velocity prior cuts executed GN iterations (see
+        TrackerConfig.warm_start for why monocular defaults off)."""
+        return DVOConfig(
+            pyramid=PyramidConfig(levels=4, culls=1),
+            tracker=TrackerConfig(warm_start=True),
+        )
 
 
 def resolve_backend(backend: str) -> str:
