@@ -115,7 +115,7 @@ def bench_monocular(reps=3, chunk=24, n_chunks=4):
     h, w = frames[0].shape
     Kd = jnp.asarray(K)
     mask = jnp.ones((h, w), bool)
-    masks = jnp.ones((chunk, h, w), bool)
+    masks = mask  # shared (H, W) mask: shipped/staged once, broadcast in-scan
     # Stage EVERY chunk on device before timing.
     chunks = [
         jax.device_put(np.stack(frames[1 + i * chunk : 1 + (i + 1) * chunk]))
@@ -189,7 +189,7 @@ def bench_e2e_decode(chunk=24, n_chunks=4):
     h, w = 480, 640
     Kd = jnp.asarray(K)
     mask = jnp.ones((h, w), bool)
-    masks = jnp.ones((chunk, h, w), bool)
+    masks = mask
     warm = np.zeros((chunk, h, w), np.uint8)
     state0 = monocular_init(jnp.zeros((h, w), jnp.uint8), mask, Kd,
                             jax.random.PRNGKey(0), cfg)
@@ -349,7 +349,7 @@ def bench_rgbd(reps=3, chunk=16):
         jnp.asarray(grays[0]), mask, jnp.asarray(depths[0]),
         jnp.asarray(sigmas[0]), Kd, cfg
     )
-    masks = jnp.ones((chunk, h, w), bool)
+    masks = mask  # shared (H, W) mask
     dev = [
         jax.device_put(np.stack(x[1 : chunk + 1]))
         for x in (grays, depths, sigmas)

@@ -259,7 +259,17 @@ def monocular_run(state: VOState, grays, masks, K, cfg: DVOConfig = DVOConfig.mo
     per-frame host dispatch costs more than the compute at these image
     sizes, so the whole chunk runs as ONE device program and only the
     stacked ``StepResult``s return to host.  Returns (state', StepResult
-    with a leading N axis on every field)."""
+    with a leading N axis on every field).
+
+    ``masks`` may be (H, W) — one validity mask shared by every frame of
+    the chunk (the usual case: it is the undistortion-border map, constant
+    for a rig) — which saves re-shipping N identical masks per chunk over
+    the host->device link."""
+    if masks.ndim == 2:
+        def step(st, g):
+            return monocular_step(st, g, masks, K, cfg)
+
+        return lax.scan(step, state, grays)
 
     def step(st, inp):
         g, m = inp
@@ -324,7 +334,13 @@ def rgbd_run(state: RGBDState, grays, masks, depths, sigmas, K,
              cfg: DVOConfig = DVOConfig.rgbd()):
     """Device-resident RGB-D sequence driver: ``lax.scan`` of ``rgbd_step``
     over a stacked chunk (leading N axis on grays/masks/depths/sigmas) —
-    see ``monocular_run``."""
+    see ``monocular_run``.  ``masks`` may be (H, W), shared by the chunk."""
+    if masks.ndim == 2:
+        def step(st, inp):
+            g, d, s = inp
+            return rgbd_step(st, g, masks, d, s, K, cfg)
+
+        return lax.scan(step, state, (grays, depths, sigmas))
 
     def step(st, inp):
         g, m, d, s = inp

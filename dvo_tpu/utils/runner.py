@@ -231,6 +231,12 @@ def run_monocular(
         from dvo_tpu.models.odometry import monocular_run
 
         h, w = gray.shape
+        # The validity mask is the undistortion-border map — constant per
+        # rig — so it stages on device ONCE; re-shipping an (N, H, W) bool
+        # per chunk would double the host->device traffic (measured: the
+        # tunnel link, not the chip, bounds chunked CLI throughput).
+        mask0 = np.asarray(mask)
+        mask_dev = jnp.asarray(mask0)
         t_sec = time.perf_counter()
         n_done = [0]
 
@@ -249,22 +255,25 @@ def run_monocular(
                 )
 
         def alloc():
-            return (np.empty((chunk, h, w), np.uint8),
-                    np.empty((chunk, h, w), bool))
+            return (np.empty((chunk, h, w), np.uint8),)
 
         def fill_row(bufs, k):
             g, m = next(stream)
+            if not np.array_equal(m, mask0):
+                raise ValueError(
+                    "chunked driver requires a constant validity mask "
+                    "(it is shipped once); got a frame-varying mask"
+                )
             # Color sources decode to fractional luma; round to the nearest
             # gray level (the reference's own cv::cvtColor->8U semantics,
             # loader.cpp:59).  8-bit gray sources are already exact ints.
             np.rint(g, out=g)
             bufs[0][k] = g
-            bufs[1][k] = m
 
         def dispatch(bufs):
             nonlocal state
             state, res = monocular_run(
-                state, jnp.asarray(bufs[0]), jnp.asarray(bufs[1]), K, cfg
+                state, jnp.asarray(bufs[0]), mask_dev, K, cfg
             )
             return res
 
@@ -385,6 +394,9 @@ def run_rgbd(
         from dvo_tpu.models.odometry import rgbd_run_raw
 
         h, w = gray.shape
+        # Constant undistortion-border mask: staged once (see run_monocular).
+        mask0 = np.asarray(mask)
+        mask_dev = jnp.asarray(mask0)
         t_sec = time.perf_counter()
         n_done = [0]
 
@@ -401,21 +413,23 @@ def run_rgbd(
 
         def alloc():
             return (np.empty((chunk, h, w), np.uint8),
-                    np.empty((chunk, h, w), bool),
                     np.empty((chunk, h, w), np.uint16))
 
         def fill_row(bufs, k):
             g, m, d = prep_raw()
+            if not np.array_equal(m, mask0):
+                raise ValueError(
+                    "chunked driver requires a constant validity mask"
+                )
             np.rint(g, out=g)   # fractional luma -> nearest gray level
             bufs[0][k] = g
-            bufs[1][k] = m
-            bufs[2][k] = d      # depth counts are exact ints
+            bufs[1][k] = d      # depth counts are exact ints
 
         def dispatch(bufs):
             nonlocal state
             state, res = rgbd_run_raw(
-                state, jnp.asarray(bufs[0]), jnp.asarray(bufs[1]),
-                jnp.asarray(bufs[2]), K, cfg, TUM_DEPTH_SCALE, depth_sigma,
+                state, jnp.asarray(bufs[0]), mask_dev,
+                jnp.asarray(bufs[1]), K, cfg, TUM_DEPTH_SCALE, depth_sigma,
             )
             return res
 
@@ -500,16 +514,19 @@ def run_kinect(
         return map_depth_to_gray(depth, gray, gray_mask, rgb_K, depth_K, invT)
 
     @jax.jit
-    def register_chunk(grays_u8, gmasks, depths_u16):
+    def register_chunk(grays_u8, gmask, depths_u16):
         """Registration for a whole chunk, raw counts in: u8 -> [0,1] and
         u16 -> meters by the same f32 divisions the host loader uses
         (datasets.load_gray_normalized / load_depth_meters), then the
-        per-frame registration vmapped."""
+        per-frame registration vmapped.  ``gmask`` is the constant (H, W)
+        undistortion-border mask, staged once (the registration OUTPUT
+        mask varies per frame with depth occupancy, but that one is
+        computed on device)."""
         g = grays_u8.astype(jnp.float32) / 255.0
         d = depths_u16.astype(jnp.float32) / jnp.float32(TUM_DEPTH_SCALE)
         mapped, mask, sigma = jax.vmap(
-            lambda gg, mm, dd: map_depth_to_gray(dd, gg, mm, rgb_K, depth_K, invT)
-        )(g, gmasks, d)
+            lambda gg, dd: map_depth_to_gray(dd, gg, gmask, rgb_K, depth_K, invT)
+        )(g, d)
         return mapped, mask, d, sigma
 
     items = list(sequence)[:max_frames]
@@ -575,10 +592,12 @@ def run_kinect(
         probe_g, probe_m, probe_d = prep_raw()
         pending_first = [(probe_g, probe_m, probe_d)]
         gshape, dshape = probe_g.shape, probe_d.shape
+        # Constant undistortion-border mask, staged once (see run_monocular).
+        gmask0 = np.asarray(probe_m)
+        gmask_dev = jnp.asarray(gmask0)
 
         def alloc():
             return (np.empty((chunk,) + gshape, np.uint8),
-                    np.empty((chunk,) + gshape, bool),
                     np.empty((chunk,) + dshape, np.uint16))
 
         def fill_row(bufs, k):
@@ -586,15 +605,18 @@ def run_kinect(
                 g, m, d = pending_first.pop()
             else:
                 g, m, d = prep_raw()
+            if not np.array_equal(m, gmask0):
+                raise ValueError(
+                    "chunked driver requires a constant validity mask"
+                )
             np.rint(g, out=g)   # fractional luma -> nearest gray level
             bufs[0][k] = g
-            bufs[1][k] = m
-            bufs[2][k] = d      # depth counts are exact ints
+            bufs[1][k] = d      # depth counts are exact ints
 
         def dispatch(bufs):
             nonlocal state
             mapped_c, mask_c, d_c, sigma_c = register_chunk(
-                jnp.asarray(bufs[0]), jnp.asarray(bufs[1]), jnp.asarray(bufs[2])
+                jnp.asarray(bufs[0]), gmask_dev, jnp.asarray(bufs[1])
             )
             if mode == "rgbd":
                 state, res = rgbd_run(

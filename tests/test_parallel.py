@@ -116,47 +116,92 @@ def test_sharded_depth_update_matches_single_device(rng):
 
 
 def test_stream_sharded_matches_batched(rng):
-    """Multi-stream mesh driver (parallel/streams.py): 4 streams sharded
-    over a 4-device 'stream' mesh must produce the same trajectories as
-    the single-device vmapped driver (each device runs its local stream's
-    chunked scan; zero collectives)."""
-    from dvo_tpu.config import DVOConfig
-    from dvo_tpu.models.odometry import (
-        monocular_init_batched,
-        monocular_run_batched,
-    )
-    from dvo_tpu.parallel.streams import monocular_run_streams, stream_mesh
+    """Multi-stream mesh driver (parallel/streams.py): streams sharded
+    over a 4-device 'stream' mesh must reproduce each stream's OWN
+    single-device ``monocular_run`` trajectory (the width-1 local vmap
+    compiles to effectively the same program, measured agreement ~1e-4)
+    and must not mix streams up (cross-stream trajectories differ
+    materially by construction: distinct content and velocity)."""
+    import dataclasses as dc
 
     from test_image_ops import smooth_image
 
+    from dvo_tpu.config import DVOConfig
+    from dvo_tpu.models.odometry import (
+        monocular_init_with_depth,
+        monocular_run,
+    )
+    from dvo_tpu.parallel.streams import monocular_run_streams, stream_mesh
+
+    from dvo_tpu.ops.warp import warp_image
+
     b, n, h, w = 4, 3, 48, 64
-    img = smooth_image(rng, h, w)
-    base = np.stack([np.roll(img, 3 * s, axis=1) for s in range(b)])
-    seq = np.stack([
-        np.stack([np.roll(base[s], k + 1, axis=1) for k in range(n)])
-        for s in range(b)
-    ]).astype(np.float32)                      # (B, N, H, W)
     K = jnp.asarray(
         np.array([[1.2 * w, 0, w / 2], [0, 1.2 * w, h / 2], [0, 0, 1]],
                  np.float32)
     )
+    # Every stream sees the SAME well-posed pixel-level motion (~1.3
+    # px/frame — equally stable tracking), but at a per-stream depth
+    # scale, so the recovered metric translations differ by (1 + s): the
+    # trajectories are materially distinct (routing errors are loud)
+    # without pushing any stream toward the basin edge, where a diverging
+    # fixture run would dominate the comparison.
+    img = smooth_image(rng, h, w)
+    base = np.stack([img] * b)
+    scale = [1.2 ** s for s in range(b)]
+    depth_s = [jnp.full((h, w), 1.8 * scale[s], jnp.float32) for s in range(b)]
+    xis = [
+        np.asarray([0.008 * scale[s], 0.004 * scale[s], 0, 0, 0, 0], np.float32)
+        for s in range(b)
+    ]
+    seq = np.stack([
+        np.stack([
+            np.asarray(warp_image(
+                jnp.asarray(xis[s] * (k + 1)), jnp.asarray(base[s]),
+                jnp.ones((h, w), bool), depth_s[s], K,
+            )[0])
+            for k in range(n)
+        ])
+        for s in range(b)
+    ]).astype(np.float32)                      # (B, N, H, W)
     masks = jnp.ones((b, n, h, w), bool)
     cfg = DVOConfig.monocular()
-    states = monocular_init_batched(
-        jnp.asarray(base), masks[:, 0], K, jax.random.PRNGKey(0), cfg
+    # Deterministic data path for a crisp cross-compilation comparison:
+    # fixed-length masked-scan GN (no iteration-count flips) and promote-
+    # every-frame mapping (the z-buffer propagate is deterministic; the
+    # epipolar update's accept/reject thresholds and PRNG resets amplify
+    # reduction-order noise chaotically).
+    cfg = dc.replace(
+        cfg,
+        tracker=dc.replace(cfg.tracker, early_exit=False),
+        mapper=dc.replace(cfg.mapper, max_forward=1, min_movement=0.0),
     )
+    sigma0 = jnp.full((h, w), 0.1, jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), b)
 
-    _, res_ref = monocular_run_batched(states, jnp.asarray(seq), masks, K, cfg)
+    # Ground truth: each stream run alone on one device.
+    singles = []
+    for s in range(b):
+        st = monocular_init_with_depth(
+            jnp.asarray(base[s]), masks[s, 0], depth_s[s], sigma0, K,
+            keys[s], cfg
+        )
+        _, res = monocular_run(st, jnp.asarray(seq[s]), masks[s, 0], K, cfg)
+        singles.append(np.asarray(res.T_world))
+
+    states = jax.vmap(
+        lambda g, m, d, k: monocular_init_with_depth(
+            g, m, d, sigma0, K, k, cfg
+        )
+    )(jnp.asarray(base), masks[:, 0], jnp.stack(depth_s), keys)
     mesh = stream_mesh(4)
     _, res_sh = monocular_run_streams(mesh, states, jnp.asarray(seq), masks, K, cfg)
+    sh = np.asarray(res_sh.T_world)
 
-    # Same vmapped program, different compilation (sharded vs not): a GN
-    # early-exit flipping by one iteration bounds per-frame divergence by
-    # the 5e-4 update-norm threshold (observed ~3e-3 over the chain); the
-    # keyframe decisions and shapes must agree exactly.
-    np.testing.assert_allclose(
-        np.asarray(res_sh.T_world), np.asarray(res_ref.T_world), atol=1e-2
-    )
-    np.testing.assert_array_equal(
-        np.asarray(res_sh.is_keyframe), np.asarray(res_ref.is_keyframe)
-    )
+    for s in range(b):
+        same = np.abs(sh[s] - singles[s]).max()
+        assert same < 1e-3, (s, same)
+        cross = min(
+            np.abs(sh[s] - singles[t]).max() for t in range(b) if t != s
+        )
+        assert cross > 10 * max(same, 1e-4), (s, same, cross)
