@@ -209,11 +209,10 @@ def run_monocular(
         srcmap, loaders=loaders,
     )
     gray, mask = next(stream)
-    if use_chunk:
-        gray = np.rint(gray).astype(np.uint8)
-    state = monocular_init(
-        jnp.asarray(gray), jnp.asarray(mask), K, jax.random.PRNGKey(seed), cfg
-    )
+    if not use_chunk:
+        state = monocular_init(
+            jnp.asarray(gray), jnp.asarray(mask), K, jax.random.PRNGKey(seed), cfg
+        )
     harvester = None
     if pose_graph:
         from dvo_tpu.models.posegraph import PoseGraphHarvester
@@ -228,15 +227,44 @@ def run_monocular(
 
     start_fi = 1
     if use_chunk:
+        import dataclasses as _dc
+
         from dvo_tpu.models.odometry import monocular_run
 
-        h, w = gray.shape
+        # HOST PRE-CULL: the pipeline's first device op point-samples the
+        # input by 2**culls (cull_image) — an exact strided slice the host
+        # can apply before shipping, cutting host->device traffic 4**culls
+        # (16x at the reference monocular operating point; the link is the
+        # chunked driver's bottleneck on remote-device hosts).  The device
+        # program then runs with culls=0 on identical pixels.
+        culls = cfg.pyramid.culls
+        st_ = 2 ** culls
+        cfg_dev = _dc.replace(
+            cfg, pyramid=_dc.replace(cfg.pyramid, culls=0)
+        ) if culls else cfg
+        K_host = np.asarray(calib.K, np.float32).copy()
+        if culls:
+            K_host[:2] /= st_            # cull_intrinsic semantics
+        K_dev = jnp.asarray(K_host)
+
+        def quantize_cull(g):
+            # Fractional color luma -> nearest gray level (the reference's
+            # cvtColor->8U semantics, loader.cpp:59), then the exact
+            # point-sample cull.
+            return np.rint(g[::st_, ::st_]).astype(np.uint8)
+
+        gray_c = quantize_cull(gray)
+        h, w = gray_c.shape
         # The validity mask is the undistortion-border map — constant per
         # rig — so it stages on device ONCE; re-shipping an (N, H, W) bool
         # per chunk would double the host->device traffic (measured: the
         # tunnel link, not the chip, bounds chunked CLI throughput).
-        mask0 = np.asarray(mask)
-        mask_dev = jnp.asarray(mask0)
+        mask_full = np.asarray(mask)
+        mask_dev = jnp.asarray(mask_full[::st_, ::st_])
+        state = monocular_init(
+            jnp.asarray(gray_c), mask_dev, K_dev,
+            jax.random.PRNGKey(seed), cfg_dev,
+        )
         t_sec = time.perf_counter()
         n_done = [0]
 
@@ -259,21 +287,17 @@ def run_monocular(
 
         def fill_row(bufs, k):
             g, m = next(stream)
-            if not np.array_equal(m, mask0):
+            if not np.array_equal(m, mask_full):
                 raise ValueError(
                     "chunked driver requires a constant validity mask "
                     "(it is shipped once); got a frame-varying mask"
                 )
-            # Color sources decode to fractional luma; round to the nearest
-            # gray level (the reference's own cv::cvtColor->8U semantics,
-            # loader.cpp:59).  8-bit gray sources are already exact ints.
-            np.rint(g, out=g)
-            bufs[0][k] = g
+            bufs[0][k] = quantize_cull(g)
 
         def dispatch(bufs):
             nonlocal state
             state, res = monocular_run(
-                state, jnp.asarray(bufs[0]), mask_dev, K, cfg
+                state, jnp.asarray(bufs[0]), mask_dev, K_dev, cfg_dev
             )
             return res
 
@@ -288,9 +312,26 @@ def run_monocular(
         item = items[fi]
         gray, mask = next(stream)
         if use_chunk:
-            # The raw-count stream feeds the tail too: quantize exactly as
-            # the chunk rows were and let the device normalize the uint8.
-            gray = np.rint(gray).astype(np.uint8)
+            # The raw-count stream feeds the tail too: quantize + pre-cull
+            # exactly as the chunk rows were; the device normalizes.
+            gray = quantize_cull(gray)
+            mask = mask[::st_, ::st_]
+            t0 = time.perf_counter()
+            state, res = monocular_step(
+                state, jnp.asarray(gray), mask_dev, K_dev, cfg_dev
+            )
+            device_sync(res.T_world)
+            secs.append(time.perf_counter() - t0)
+            poses.append(np.asarray(res.T_world))
+            times.append(item.timestamp)
+            if metrics is not None:
+                metrics.log_frame(res, secs[-1], item.timestamp)
+            if verbose:
+                print(
+                    f"frame {int(state.frame_count)-1:4d} "
+                    f"kf={bool(res.is_keyframe)} {secs[-1]*1e3:7.1f} ms"
+                )
+            continue
         t0 = time.perf_counter()
         state, res = monocular_step(state, jnp.asarray(gray), jnp.asarray(mask), K, cfg)
         device_sync(res.T_world)
@@ -381,22 +422,40 @@ def run_rgbd(
         sigma = np.where(valid, depth_sigma, 1.0).astype(np.float32)
         return gray, mask, depth.astype(np.float32), sigma
 
-    gray, mask, depth, sigma = prep(items[0])
-    state = rgbd_init(
-        jnp.asarray(gray), jnp.asarray(mask), jnp.asarray(depth), jnp.asarray(sigma), K, cfg
-    )
     poses = [np.eye(4, dtype=np.float32)]
     times = [items[0].timestamp]
     secs = []
 
     start_fi = 1
     if use_chunk:
+        import dataclasses as _dc
+
         from dvo_tpu.models.odometry import rgbd_run_raw
 
-        h, w = gray.shape
-        # Constant undistortion-border mask: staged once (see run_monocular).
-        mask0 = np.asarray(mask)
-        mask_dev = jnp.asarray(mask0)
+        # HOST PRE-CULL (see run_monocular): ship 4**culls less data; the
+        # device program runs with culls=0 on identical pixels.
+        culls = cfg.pyramid.culls
+        st_ = 2 ** culls
+        cfg_dev = _dc.replace(
+            cfg, pyramid=_dc.replace(cfg.pyramid, culls=0)
+        ) if culls else cfg
+        K_host = np.asarray(calib.K, np.float32).copy()
+        if culls:
+            K_host[:2] /= st_
+        K_dev = jnp.asarray(K_host)
+
+        g0, m0, d0 = prep_raw()
+        mask_full = np.asarray(m0)
+        mask_dev = jnp.asarray(mask_full[::st_, ::st_])
+        gray_c = np.rint(g0[::st_, ::st_]).astype(np.uint8)
+        depth_c = (d0[::st_, ::st_].astype(np.float32)
+                   * np.float32(1.0 / TUM_DEPTH_SCALE))
+        sigma_c = np.where(depth_c > 1e-6, depth_sigma, 1.0).astype(np.float32)
+        state = rgbd_init(
+            jnp.asarray(gray_c), mask_dev, jnp.asarray(depth_c),
+            jnp.asarray(sigma_c), K_dev, cfg_dev,
+        )
+        h, w = gray_c.shape
         t_sec = time.perf_counter()
         n_done = [0]
 
@@ -417,19 +476,20 @@ def run_rgbd(
 
         def fill_row(bufs, k):
             g, m, d = prep_raw()
-            if not np.array_equal(m, mask0):
+            if not np.array_equal(m, mask_full):
                 raise ValueError(
                     "chunked driver requires a constant validity mask"
                 )
-            np.rint(g, out=g)   # fractional luma -> nearest gray level
-            bufs[0][k] = g
-            bufs[1][k] = d      # depth counts are exact ints
+            # Quantize + pre-cull (rint commutes with the point-sample).
+            bufs[0][k] = np.rint(g[::st_, ::st_])
+            bufs[1][k] = d[::st_, ::st_]   # depth counts are exact ints
 
         def dispatch(bufs):
             nonlocal state
             state, res = rgbd_run_raw(
                 state, jnp.asarray(bufs[0]), mask_dev,
-                jnp.asarray(bufs[1]), K, cfg, TUM_DEPTH_SCALE, depth_sigma,
+                jnp.asarray(bufs[1]), K_dev, cfg_dev, TUM_DEPTH_SCALE,
+                depth_sigma,
             )
             return res
 
@@ -439,15 +499,32 @@ def run_rgbd(
         wall = time.perf_counter() - t_sec
         secs.extend([wall / max(done, 1)] * done)
         start_fi = 1 + done
+    else:
+        gray, mask, depth, sigma = prep(items[0])
+        state = rgbd_init(
+            jnp.asarray(gray), jnp.asarray(mask), jnp.asarray(depth),
+            jnp.asarray(sigma), K, cfg,
+        )
 
     for fi in range(start_fi, len(items)):
         item = items[fi]
         gray, mask, depth, sigma = prep(item)
-        t0 = time.perf_counter()
-        state, res = rgbd_step(
-            state, jnp.asarray(gray), jnp.asarray(mask),
-            jnp.asarray(depth), jnp.asarray(sigma), K, cfg,
-        )
+        if use_chunk:
+            # Tail frames pre-cull like the chunk rows did.
+            gray = gray[::st_, ::st_]
+            depth = depth[::st_, ::st_]
+            sigma = sigma[::st_, ::st_]
+            t0 = time.perf_counter()
+            state, res = rgbd_step(
+                state, jnp.asarray(gray), mask_dev,
+                jnp.asarray(depth), jnp.asarray(sigma), K_dev, cfg_dev,
+            )
+        else:
+            t0 = time.perf_counter()
+            state, res = rgbd_step(
+                state, jnp.asarray(gray), jnp.asarray(mask),
+                jnp.asarray(depth), jnp.asarray(sigma), K, cfg,
+            )
         device_sync(res.T_world)
         secs.append(time.perf_counter() - t0)
         poses.append(np.asarray(res.T_world))
