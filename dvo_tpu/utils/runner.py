@@ -110,10 +110,14 @@ def _run_chunks(n_steps, chunk, alloc, fill_row, dispatch, on_frame):
     buffers from the (prefetching) stream, dispatch the chunk program
     (async), and consume the PREVIOUS chunk's packed results while the
     device runs — decode, transfer, execution, and result drain all
-    overlap.  Returns the number of steps consumed (the per-frame tail
-    remains for the caller)."""
+    overlap.  Returns (steps_consumed, per_chunk_wall_seconds); the first
+    chunk's wall usually carries the one-time program compile, so callers
+    should report steady-state throughput from the per-chunk medians (the
+    per-frame tail remains for the caller)."""
     drain = _ChunkDrain(on_frame)
     done = 0
+    chunk_walls = []
+    t_prev = time.perf_counter()
     for _ in range(n_steps // chunk):
         bufs = alloc()
         for k in range(chunk):
@@ -121,8 +125,14 @@ def _run_chunks(n_steps, chunk, alloc, fill_row, dispatch, on_frame):
         res = dispatch(bufs)
         drain.push(res, done, chunk)
         done += chunk
+        t_now = time.perf_counter()
+        chunk_walls.append(t_now - t_prev)
+        t_prev = t_now
     drain.finish()
-    return done
+    if chunk_walls:
+        # The final drain waits for the last chunk's execution.
+        chunk_walls[-1] += time.perf_counter() - t_prev
+    return done, chunk_walls
 
 
 def _image_stream(paths, scale, srcmap, loaders=()):
@@ -301,11 +311,14 @@ def run_monocular(
             )
             return res
 
-        done = _run_chunks(
+        done, chunk_walls = _run_chunks(
             len(items) - 1, chunk, alloc, fill_row, dispatch, on_frame
         )
-        wall = time.perf_counter() - t_sec
-        secs.extend([wall / max(done, 1)] * done)
+        # Per-frame seconds from each chunk's own wall time: the first
+        # chunk typically absorbs the one-time compile, so downstream
+        # medians reflect steady-state throughput.
+        for cw in chunk_walls:
+            secs.extend([cw / chunk] * chunk)
         start_fi = 1 + done
 
     for fi in range(start_fi, len(items)):
@@ -493,11 +506,14 @@ def run_rgbd(
             )
             return res
 
-        done = _run_chunks(
+        done, chunk_walls = _run_chunks(
             len(items) - 1, chunk, alloc, fill_row, dispatch, on_frame
         )
-        wall = time.perf_counter() - t_sec
-        secs.extend([wall / max(done, 1)] * done)
+        # Per-frame seconds from each chunk's own wall time: the first
+        # chunk typically absorbs the one-time compile, so downstream
+        # medians reflect steady-state throughput.
+        for cw in chunk_walls:
+            secs.extend([cw / chunk] * chunk)
         start_fi = 1 + done
     else:
         gray, mask, depth, sigma = prep(items[0])
@@ -703,11 +719,14 @@ def run_kinect(
                 state, res = monocular_run(state, mapped_c, mask_c, depth_K, cfg)
             return res
 
-        done = _run_chunks(
+        done, chunk_walls = _run_chunks(
             len(items) - 1, chunk, alloc, fill_row, dispatch, on_frame
         )
-        wall = time.perf_counter() - t_sec
-        secs.extend([wall / max(done, 1)] * done)
+        # Per-frame seconds from each chunk's own wall time: the first
+        # chunk typically absorbs the one-time compile, so downstream
+        # medians reflect steady-state throughput.
+        for cw in chunk_walls:
+            secs.extend([cw / chunk] * chunk)
         start_fi = 1 + done
         if start_fi < len(items):
             pending_first.append(prep_raw())
