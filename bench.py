@@ -176,7 +176,7 @@ def bench_e2e_decode(chunk=24, n_chunks=4):
                 paths, 1.0, threads=max(2, os.cpu_count() or 2)
             )
             for _i, img, _v in loader:
-                out_list.append(img.astype(np.uint8))
+                out_list.append(np.rint(img).astype(np.uint8))
             loader.close()
         except Exception:
             from PIL import Image
