@@ -202,6 +202,18 @@ class MapperConfig:
     # error vs ground truth is unchanged; divergent observations are
     # handled by the depth filter's compatibility gate over later frames.
     gather_window: int = 48
+    # Keyframe-ring slots the Pallas march gathers from, newest first: the
+    # kernel's sampling matmul spans (4 * slots * gather_window) rows, and
+    # most pixels' depth was born in the newest few keyframes, so
+    # gathering only the newest N slots (born ages clamped to N-1 — the
+    # same approximation the ring itself applies when a pixel outlives
+    # the capacity window) cuts the dominant contraction by
+    # history_capacity / N.  Pixels older than N-1 keyframes match
+    # against the (N-1)-aged keyframe with its geometry — a slightly
+    # shorter baseline; wrong matches fail the SSD gate or the depth
+    # filter's compatibility gate.  <= 0 disables (exact full-ring
+    # gather; the XLA twin is always exact).
+    gather_slots: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -416,7 +416,22 @@ def depth_update_pallas(
     aged_out_count = jnp.sum((crop & ~aged_ok).astype(jnp.int32))
     pix_ok = crop & in_obj & in_front & obj_ok & aged_ok
 
-    slot = born_slot(history, ref_age)
+    c = history.capacity
+    # Newest-G slot gather (config.py gather_slots): born ages clamp to
+    # G-1 and the born stack is built newest-first, so the kernel's slot
+    # id IS the clamped age and the sampling matmul spans G instead of
+    # `capacity` slots.  G >= capacity (or <= 0) keeps the exact
+    # ring-ordered path.
+    G = c if cfg.gather_slots <= 0 else min(c, cfg.gather_slots)
+    if G < c:
+        stack_idx = jnp.clip(
+            jnp.minimum(ref_age, G - 1), 0, jnp.maximum(history.count - 1, 0)
+        )
+        slot = born_slot(history, stack_idx)   # ring slot for the geometry
+        kernel_slot = stack_idx                # newest-first stack index
+    else:
+        slot = born_slot(history, ref_age)
+        kernel_slot = slot
     r_xi_slots = jax.vmap(lambda bx: lie.compose(obj_xi_w, -bx))(history.xi)
     T_es_slots = lie.se3_exp(-r_xi_slots)
     r_xi_px = r_xi_slots[slot]
@@ -459,7 +474,7 @@ def depth_update_pallas(
     fields = jnp.stack(
         [
             start[..., 0], start[..., 1], direction[..., 0], direction[..., 1],
-            length, obj_val, slot.astype(jnp.float32),
+            length, obj_val, kernel_slot.astype(jnp.float32),
             prior_d, prior_s, dmin, dmax,
             r3_dot_q, KRq[..., 0], KRq[..., 1], KRq[..., 2],
             t_tw[..., 2], Kt[..., 0], Kt[..., 1], Kt[..., 2],
@@ -470,13 +485,23 @@ def depth_update_pallas(
     )
     assert fields.shape[0] == N_FIELDS
 
-    c = history.capacity
+    if G < c:
+        # Newest-first stack: entry a is the keyframe a promotions ago.
+        take_idx = (history.head - jnp.arange(G)) % c
+        g_sel = jnp.take(history.gray, take_idx, axis=0)
+        gx_sel = jnp.take(history.gx, take_idx, axis=0)
+        gy_sel = jnp.take(history.gy, take_idx, axis=0)
+        gm_sel = jnp.take(history.gmask, take_idx, axis=0)
+    else:
+        g_sel, gx_sel, gy_sel, gm_sel = (
+            history.gray, history.gx, history.gy, history.gmask
+        )
     born_stack = jnp.concatenate(
         [
-            history.gray.reshape(c * h, w),
-            history.gx.reshape(c * h, w),
-            history.gy.reshape(c * h, w),
-            history.gmask.astype(jnp.float32).reshape(c * h, w),
+            g_sel.reshape(G * h, w),
+            gx_sel.reshape(G * h, w),
+            gy_sel.reshape(G * h, w),
+            gm_sel.astype(jnp.float32).reshape(G * h, w),
         ],
         axis=0,
     )
@@ -486,7 +511,7 @@ def depth_update_pallas(
         born_stack = born_stack.astype(jnp.bfloat16)
 
     depth_out, sigma_out, age_f, kstats = epipolar_update_pallas(
-        fields, born_stack, capacity=c, cfg=cfg, interpret=interpret
+        fields, born_stack, capacity=G, cfg=cfg, interpret=interpret
     )
     stats = DepthUpdateStats(
         observed=kstats[0].astype(jnp.int32),

@@ -380,3 +380,76 @@ def test_mapper_backend_pallas_step(rng):
         assert np.isfinite(np.asarray(res.T_world)).all()
     assert np.isfinite(np.asarray(state.ref.base.depth)).all()
     assert int(state.frame_count) == 4
+
+
+def test_pallas_epipolar_gather_slots(rng):
+    """MapperConfig.gather_slots: with every pixel born within the newest-G
+    keyframes, the newest-first G-slot gather must reproduce the exact
+    full-ring gather bit-for-bit; with older pixels present, the clamped
+    path still observes a comparable pixel set (ages clamp to G-1 — the
+    same approximation the ring applies at capacity overflow)."""
+    import jax as _jax
+
+    from dvo_tpu.config import MapperConfig
+    from dvo_tpu.models.frame import with_pose
+    from dvo_tpu.models.history import KeyframeHistory, push
+    from dvo_tpu.models.mapper import depth_update_pallas
+
+    from test_mapper import _single_kf_setup
+
+    h, w = 48, 64
+    ref_img, true_depth, K, xi, obj_img, obj_mask, mk = _single_kf_setup(rng, h, w)
+    # Ring with 3 keyframes at slightly different poses (head = newest).
+    hist = KeyframeHistory.create(8, h, w)
+    for i, shift in enumerate((0.02, 0.01, 0.0)):
+        fr = mk(ref_img, np.ones((h, w), bool), true_depth,
+                np.full((h, w), 0.5, np.float32), i)
+        fr = with_pose(fr, jnp.asarray([shift, 0, 0, 0, 0, 0], jnp.float32),
+                       jnp.zeros(6))
+        hist = push(hist, fr)
+
+    noisy = np.clip(rng.normal(1.7, 0.4, (h, w)), 0.5, None).astype(np.float32)
+    sigma0 = np.full((h, w), 0.5, np.float32)
+    obj_frame = mk(obj_img, obj_mask, true_depth, sigma0, 3)
+    # Ages 0..2: every born keyframe is within the newest-4 stack.
+    age = (np.arange(h * w).reshape(h, w) % 3).astype(np.int32)
+    key = _jax.random.PRNGKey(5)
+    out = {}
+    for gs in (0, 4):
+        cfg = MapperConfig(
+            crop_x=(6, w - 8), crop_y=(5, h - 6), max_steps=40,
+            luminance_sigma=0.25, epipolar_sigma=0.25,
+            pallas_precision="f32", gather_slots=gs,
+        )
+        out[gs] = depth_update_pallas(
+            obj_frame.scenes[0], jnp.asarray(xi), jnp.asarray(xi),
+            jnp.asarray(noisy), jnp.asarray(sigma0), jnp.asarray(age),
+            hist, key, cfg, interpret=True,
+        )
+    d0, s0, a0, st0 = out[0]
+    d4, s4, a4, st4 = out[4]
+    assert int(st0.observed) == int(st4.observed) > 50
+    np.testing.assert_allclose(np.asarray(d4), np.asarray(d0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s4), np.asarray(s0), rtol=1e-5)
+
+    # Ages up to 5 with gather_slots=2: the clamped path matches against
+    # nearer keyframes; it must still observe a comparable set and stay
+    # finite.
+    age_old = (np.arange(h * w).reshape(h, w) % 6).astype(np.int32)
+    outs = {}
+    for gs in (0, 2):
+        cfg = MapperConfig(
+            crop_x=(6, w - 8), crop_y=(5, h - 6), max_steps=40,
+            luminance_sigma=0.25, epipolar_sigma=0.25,
+            pallas_precision="f32", gather_slots=gs,
+        )
+        outs[gs] = depth_update_pallas(
+            obj_frame.scenes[0], jnp.asarray(xi), jnp.asarray(xi),
+            jnp.asarray(noisy), jnp.asarray(sigma0), jnp.asarray(age_old),
+            hist, key, cfg, interpret=True,
+        )
+    n_exact = int(outs[0][3].observed)
+    n_clamp = int(outs[2][3].observed)
+    assert n_exact > 50
+    assert n_clamp > 0.5 * n_exact, (n_clamp, n_exact)
+    assert np.all(np.isfinite(np.asarray(outs[2][0])))
