@@ -65,3 +65,25 @@ def monocular_run_streams(mesh: Mesh, states, grays, masks, K,
         )(st, g, m)
 
     return jax.jit(body)(states, grays, masks, K)
+
+
+def rgbd_run_streams(mesh: Mesh, states, grays, masks, depths, sigmas, K,
+                     cfg: DVOConfig = DVOConfig.rgbd()):
+    """RGB-D twin of ``monocular_run_streams``: B frame-to-frame tracking
+    pipelines sharded over the ``stream`` axis (grays/masks/depths/sigmas:
+    (B, N, H, W))."""
+    from dvo_tpu.models.odometry import rgbd_run
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("stream"),) * 5 + (P(),),
+        out_specs=(P("stream"), P("stream")),
+        check_rep=False,
+    )
+    def body(st, g, m, d, s, k):
+        return jax.vmap(
+            lambda s_, gg, mm, dd, ss: rgbd_run(s_, gg, mm, dd, ss, k, cfg)
+        )(st, g, m, d, s)
+
+    return jax.jit(body)(states, grays, masks, depths, sigmas, K)

@@ -205,3 +205,75 @@ def test_stream_sharded_matches_batched(rng):
             np.abs(sh[s] - singles[t]).max() for t in range(b) if t != s
         )
         assert cross > 10 * max(same, 1e-4), (s, same, cross)
+
+
+def test_rgbd_stream_sharded_matches_single(rng):
+    """RGB-D twin of the stream-sharded routing test: 4 frame-to-frame
+    tracking pipelines over a 4-device 'stream' mesh, each matching its
+    own single-device run (no mapper, no PRNG — deterministic enough for
+    a tight bound)."""
+    import dataclasses as dc
+
+    from test_image_ops import smooth_image
+
+    from dvo_tpu.config import DVOConfig
+    from dvo_tpu.models.odometry import rgbd_init, rgbd_run
+    from dvo_tpu.ops.warp import warp_image
+    from dvo_tpu.parallel.streams import rgbd_run_streams, stream_mesh
+
+    b, n, h, w = 4, 3, 48, 64
+    K = jnp.asarray(
+        np.array([[1.2 * w, 0, w / 2], [0, 1.2 * w, h / 2], [0, 0, 1]],
+                 np.float32)
+    )
+    img = smooth_image(rng, h, w)
+    base = np.stack([img] * b)
+    scale = [1.2 ** s for s in range(b)]
+    depth_s = [np.full((h, w), 1.8 * scale[s], np.float32) for s in range(b)]
+    xis = [
+        np.asarray([0.008 * scale[s], 0.004 * scale[s], 0, 0, 0, 0], np.float32)
+        for s in range(b)
+    ]
+    seq = np.stack([
+        np.stack([
+            np.asarray(warp_image(
+                jnp.asarray(xis[s] * (k + 1)), jnp.asarray(base[s]),
+                jnp.ones((h, w), bool), jnp.asarray(depth_s[s]), K,
+            )[0])
+            for k in range(n)
+        ])
+        for s in range(b)
+    ]).astype(np.float32)
+    masks = jnp.ones((b, n, h, w), bool)
+    sig = np.full((h, w), 0.1, np.float32)
+    cfg = DVOConfig.rgbd()
+    cfg = dc.replace(cfg, pyramid=dc.replace(cfg.pyramid, levels=2, culls=0),
+                     tracker=dc.replace(cfg.tracker, early_exit=False))
+
+    singles = []
+    states = []
+    for s in range(b):
+        st = rgbd_init(jnp.asarray(base[s]), masks[s, 0],
+                       jnp.asarray(depth_s[s]), jnp.asarray(sig), K, cfg)
+        states.append(st)
+        _, res = rgbd_run(
+            st, jnp.asarray(seq[s]), masks[s, 0],
+            jnp.asarray(np.stack([depth_s[s]] * n)),
+            jnp.asarray(np.stack([sig] * n)), K, cfg,
+        )
+        singles.append(np.asarray(res.T_world))
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+    mesh = stream_mesh(4)
+    _, res_sh = rgbd_run_streams(
+        mesh, stacked, jnp.asarray(seq), masks,
+        jnp.asarray(np.stack([np.stack([depth_s[s]] * n) for s in range(b)])),
+        jnp.asarray(np.stack([np.stack([sig] * n)] * b)), K, cfg,
+    )
+    sh = np.asarray(res_sh.T_world)
+    for s in range(b):
+        same = np.abs(sh[s] - singles[s]).max()
+        assert same < 1e-4, (s, same)
+        cross = min(
+            np.abs(sh[s] - singles[t]).max() for t in range(b) if t != s
+        )
+        assert cross > 10 * max(same, 1e-4), (s, same, cross)
