@@ -27,11 +27,10 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from dvo_tpu import lie
 from dvo_tpu.config import InitConfig, MapperConfig
-from dvo_tpu.models.frame import Frame, Scene
+from dvo_tpu.models.frame import Scene
 from dvo_tpu.models.history import KeyframeHistory, born_slot
 from dvo_tpu.ops.depth_filter import gaussian_fuse, gaussian_update_with_reset
 from dvo_tpu.ops.warp import back_project, pixel_grid, project

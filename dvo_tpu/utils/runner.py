@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import List, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,19 +25,8 @@ from dvo_tpu.utils.datasets import (
     Calibration,
     KinectCalibration,
     build_undistort_map,
-    load_depth_meters,
-    load_gray_normalized,
     remap_nearest,
 )
-
-
-def _prep_gray(item, calib, srcmap):
-    gray = load_gray_normalized(item.gray_path)
-    if srcmap is not None:
-        gray, mask = remap_nearest(gray, srcmap, border=0.0)
-    else:
-        mask = np.ones_like(gray, bool)
-    return gray.astype(np.float32), mask
 
 
 # ----------------------------------------------------- chunked result plumbing
