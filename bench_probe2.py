@@ -467,8 +467,15 @@ def sec_phases2():
                     g, mask, Kd, base.pyramid.levels, base.pyramid.culls,
                     key, 0, base.init, with_grads=_g,
                 )
-                leaf = fr.base.gx if _g else fr.base.gray
-                return carry + leaf[0, 0], None
+                # Reduce EVERY produced plane at every level: a scalar
+                # slice lets XLA dead-code-eliminate the whole build
+                # (observed: the first version measured ~0 ms/frame).
+                acc = carry
+                for s in fr.scenes:
+                    acc = acc + jnp.sum(s.gray) + jnp.sum(s.depth)
+                    if _g:
+                        acc = acc + jnp.sum(s.gx) + jnp.sum(s.gy)
+                return acc, None
 
             out, _ = lax.scan(step, jnp.float32(0), d)
             return out
@@ -534,7 +541,11 @@ def sec_rgbd_phases():
                 gg, mask, dd, ss, Kd, base.pyramid.levels,
                 base.pyramid.culls, 0,
             )
-            return carry + fr.base.gx[0, 0], None
+            acc = carry
+            for s in fr.scenes:   # full materialization (no DCE) — see
+                acc = acc + jnp.sum(s.gray) + jnp.sum(s.depth)  # phases2
+                acc = acc + jnp.sum(s.gx) + jnp.sum(s.gy)
+            return acc, None
 
         out, _ = lax.scan(step, jnp.float32(0), (g, d, sg))
         return out
