@@ -405,8 +405,9 @@ def sec_phases2():
     (round-3 VERDICT items 2/7).  All loop-amortized over a 96-frame
     on-device chunk:
 
-      full          - the shipping pipeline (warm start + deferred grads)
-      no_warm       - warm_start off: the constant-velocity prior's value
+      full          - the shipping pipeline (deferred grads; warm start
+                      is OFF in the monocular preset — config.py note)
+      warm          - warm_start ON: the constant-velocity prior's cost
       update_only   - keyframe policy never fires: no propagate/push/ring
       promote_only  - promotes every frame: no epipolar update
       build_scan    - lax.scan that ONLY builds frames (no track, no map):
@@ -434,8 +435,8 @@ def sec_phases2():
 
     variants = {
         "full": base,
-        "no_warm": dc.replace(
-            base, tracker=dc.replace(base.tracker, warm_start=False)
+        "warm": dc.replace(
+            base, tracker=dc.replace(base.tracker, warm_start=True)
         ),
         "update_only": dc.replace(
             base, mapper=dc.replace(base.mapper, min_movement=1e9,

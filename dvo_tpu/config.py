@@ -213,7 +213,10 @@ class MapperConfig:
     # shorter baseline; wrong matches fail the SSD gate or the depth
     # filter's compatibility gate.  <= 0 disables (exact full-ring
     # gather; the XLA twin is always exact).
-    gather_slots: int = 4
+    # Default 0 (exact), matching how the other approximations
+    # (warm_start, windowing) default reference-faithful; the performance
+    # presets (DVOConfig.monocular()) opt into the measured newest-4.
+    gather_slots: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -256,14 +259,19 @@ class DVOConfig:
     mapper: MapperConfig = dataclasses.field(default_factory=MapperConfig)
     init: InitConfig = dataclasses.field(default_factory=InitConfig)
     ba: BAConfig = dataclasses.field(default_factory=BAConfig)
-    # "gather": XLA gather HLO; "mxu": one-hot matmul sampling on the MXU;
-    # "pallas": fused Pallas kernels where available.
-    sampler: str = "gather"
 
     @staticmethod
     def monocular() -> "DVOConfig":
-        """Monocular mode: 3 levels, input pre-decimated 4x (system.hpp:47)."""
-        return DVOConfig(pyramid=PyramidConfig(levels=3, culls=2))
+        """Monocular mode: 3 levels, input pre-decimated 4x (system.hpp:47).
+
+        The performance preset opts into the newest-4 keyframe-slot gather
+        (MapperConfig.gather_slots — measured 2.61 -> 2.34 ms/frame with
+        every accuracy gate unchanged, BASELINE.md r4); a bare
+        ``DVOConfig()`` stays exact."""
+        return DVOConfig(
+            pyramid=PyramidConfig(levels=3, culls=2),
+            mapper=MapperConfig(gather_slots=4),
+        )
 
     @staticmethod
     def rgbd() -> "DVOConfig":

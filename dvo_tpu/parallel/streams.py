@@ -28,7 +28,7 @@ from functools import partial
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from dvo_tpu.config import DVOConfig
 from dvo_tpu.models.odometry import monocular_run
