@@ -86,10 +86,36 @@ def _make_scene(gray, mask, depth, sigma, K, with_grads: bool = True) -> Scene:
                  gx=None, gy=None, gmask=None, K=K)
 
 
+def _use_fused_build() -> bool:
+    """The fused Pallas build kernel runs on TPU (bit-identical planes in
+    one launch — ops/pallas/framebuild.py); the XLA build everywhere else
+    (CPU Pallas only exists in slow interpret mode)."""
+    import jax as _jax
+
+    return _jax.default_backend() == "tpu"
+
+
 def _pyramid(gray, mask, depth, sigma, K, levels: int,
              with_grads: bool = True) -> Tuple[Scene, ...]:
     """Coarsest-first pyramid, every level re-culled from the base
-    (frame.cpp:30-37 culls the base scene by levels-1-i)."""
+    (frame.cpp:30-37 culls the base scene by levels-1-i).
+
+    On TPU the whole pyramid — every level's planes, masks, and gradient
+    stencils — is ONE fused Pallas launch (ops/pallas/framebuild.py;
+    measured 1.67 ms/frame of small XLA ops at the RGB-D operating point,
+    PROBE_r04.json).  ``with_grads=False`` (deferred gradients) is ignored
+    there: the in-kernel stencils are measured ~free, and emitting them
+    keeps the promote branch's ``with_gradients`` a pass-through."""
+    if _use_fused_build():
+        from dvo_tpu.ops.pallas.framebuild import build_pyramid_planes
+
+        planes = build_pyramid_planes(gray, mask, depth, sigma, levels)
+        return tuple(
+            Scene(gray=p["gray"], mask=p["mask"], depth=p["depth"],
+                  sigma=p["sigma"], gx=p["gx"], gy=p["gy"],
+                  gmask=p["gmask"], K=cull_intrinsic(K, levels - 1 - i))
+            for i, p in enumerate(planes)
+        )
     scenes = []
     for i in range(levels):
         t = levels - 1 - i
@@ -203,7 +229,29 @@ def with_pose(frame: Frame, relative_xi: jax.Array, ref_xi: jax.Array) -> Frame:
 
 def with_depth(frame: Frame, depth, sigma=None, age=None) -> Frame:
     """Re-derive every pyramid level's depth (and optionally sigma) from a
-    new base-level map by culling (reference frame.cpp:39-61)."""
+    new base-level map by culling (reference frame.cpp:39-61).  On TPU the
+    per-level culls run as one fused Pallas launch (see ``_pyramid``)."""
+    if _use_fused_build():
+        from dvo_tpu.ops.pallas.framebuild import (
+            cull_pyramid_one,
+            cull_pyramid_pair,
+        )
+
+        if sigma is not None:
+            pairs = cull_pyramid_pair(depth, sigma, frame.levels)
+        else:
+            pairs = [(d, None) for d in cull_pyramid_one(depth, frame.levels)]
+        scenes = tuple(
+            dataclasses.replace(
+                s, depth=d, sigma=sg if sg is not None else s.sigma
+            )
+            for s, (d, sg) in zip(frame.scenes, pairs)
+        )
+        return dataclasses.replace(
+            frame,
+            scenes=scenes,
+            age=age if age is not None else frame.age,
+        )
     scenes = []
     for i, s in enumerate(frame.scenes):
         t = frame.levels - 1 - i
