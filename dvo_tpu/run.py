@@ -38,6 +38,10 @@ def main(argv=None):
                          "(also used automatically with --pose-graph)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-undistort", action="store_true")
+    ap.add_argument("--kinect-gray-cull", type=int, default=2,
+                    help="host pre-cull stride for the kinect COLOR stream "
+                         "(1 disables; depth is always pre-culled exactly — "
+                         "utils.runner.run_kinect docstring)")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force a JAX backend (set before backend init; the "
@@ -172,6 +176,7 @@ def main(argv=None):
                 mode=args.mode, max_frames=args.max_frames,
                 undistort=not args.no_undistort, verbose=args.verbose,
                 metrics=metrics, chunk=args.chunk,
+                gray_cull=args.kinect_gray_cull,
             )
     elif args.format == "euroc":
         from dvo_tpu.utils.datasets import EuRoCSequence

@@ -70,15 +70,21 @@ class _ChunkDrain:
     """Pipelined chunk-result consumer: ``push`` dispatches the flatten for
     the *current* chunk and consumes the *previous* chunk's packed results
     (so the device runs chunk k+1 while the host walks chunk k's rows);
-    ``finish`` drains the final chunk."""
+    ``finish`` drains the final chunk.  ``on_chunk_done(first_index,
+    count, aux)`` (optional) fires after a chunk's rows are consumed with
+    the aux device value passed to ``push`` (fetched lazily here — used by
+    the pose-graph harvester for its once-per-chunk ring snapshot)."""
 
-    def __init__(self, on_frame):
+    def __init__(self, on_frame, on_chunk_done=None):
         self._on_frame = on_frame   # on_frame(frame_index, result_row)
+        self._on_chunk_done = on_chunk_done
         self._pending = None
 
-    def push(self, res, first_index, count):
+    def push(self, res, first_index, count, aux=None):
         flat = _flatten_results(res)
-        prev, self._pending = self._pending, (res, flat, first_index, count)
+        prev, self._pending = (
+            self._pending, (res, flat, first_index, count, aux)
+        )
         if prev is not None:
             self._consume(*prev)
 
@@ -87,14 +93,17 @@ class _ChunkDrain:
             self._consume(*self._pending)
             self._pending = None
 
-    def _consume(self, res, flat, first_index, count):
+    def _consume(self, res, flat, first_index, count, aux):
         host = _unflatten_results(res, np.asarray(flat))
         for k in range(count):
             row = jax.tree_util.tree_map(lambda a: a[k], host)
             self._on_frame(first_index + k, row)
+        if self._on_chunk_done is not None:
+            self._on_chunk_done(first_index, count, aux)
 
 
-def _run_chunks(n_steps, chunk, alloc, fill_row, dispatch, on_frame):
+def _run_chunks(n_steps, chunk, alloc, fill_row, dispatch, on_frame,
+                on_chunk_done=None, make_aux=None, before_dispatch=None):
     """Drive ``n_steps // chunk`` full chunks through the device: fill host
     buffers from the (prefetching) stream, dispatch the chunk program
     (async), and consume the PREVIOUS chunk's packed results while the
@@ -102,8 +111,14 @@ def _run_chunks(n_steps, chunk, alloc, fill_row, dispatch, on_frame):
     overlap.  Returns (steps_consumed, per_chunk_wall_seconds); the first
     chunk's wall usually carries the one-time program compile, so callers
     should report steady-state throughput from the per-chunk medians (the
-    per-frame tail remains for the caller)."""
-    drain = _ChunkDrain(on_frame)
+    per-frame tail remains for the caller).
+
+    Pose-graph hooks: ``before_dispatch()`` runs right before each chunk
+    dispatch (where live-refinement corrections apply to the device
+    state); ``make_aux()`` runs right after (its device value rides the
+    drain and is fetched in ``on_chunk_done`` — the per-chunk keyframe-ring
+    snapshot)."""
+    drain = _ChunkDrain(on_frame, on_chunk_done)
     done = 0
     chunk_walls = []
     t_prev = time.perf_counter()
@@ -111,8 +126,11 @@ def _run_chunks(n_steps, chunk, alloc, fill_row, dispatch, on_frame):
         bufs = alloc()
         for k in range(chunk):
             fill_row(bufs, k)
+        if before_dispatch is not None:
+            before_dispatch()
         res = dispatch(bufs)
-        drain.push(res, done, chunk)
+        aux = make_aux() if make_aux is not None else None
+        drain.push(res, done, chunk, aux)
         done += chunk
         t_now = time.perf_counter()
         chunk_walls.append(t_now - t_prev)
@@ -122,6 +140,41 @@ def _run_chunks(n_steps, chunk, alloc, fill_row, dispatch, on_frame):
         # The final drain waits for the last chunk's execution.
         chunk_walls[-1] += time.perf_counter() - t_prev
     return done, chunk_walls
+
+
+def _png_dims(path):
+    """(h, w) of a PNG from its header only (no pixel decode)."""
+    try:
+        from dvo_tpu import native
+
+        w, h, _ = native.png_info(path)
+        return h, w
+    except Exception:
+        from PIL import Image
+
+        w, h = Image.open(path).size
+        return h, w
+
+
+def _composed_cull_map(srcmap, first_path, st: int):
+    """Compose undistortion with a 2**culls point-sample stride into ONE
+    dest->src map, so the native loader emits pre-culled frames directly
+    (16x less remap work at the monocular operating point and 4**culls
+    less host->device traffic; round-4 shipped full-res then strided in
+    Python).  EXACT: the culled map's dest pixel (y, x) carries the same
+    source coordinate the full-res map had at (st*y, st*x), i.e. the
+    remap of the culled map equals ``remap_full[::st, ::st]`` pixel for
+    pixel.  ``srcmap=None`` (no undistortion) synthesizes the identity
+    stride map from the first frame's PNG header dims."""
+    if srcmap is not None:
+        return np.ascontiguousarray(srcmap[::st, ::st]) if st > 1 else srcmap
+    if st <= 1:
+        return None
+    h, w = _png_dims(first_path)
+    xs = np.arange(0, w, st, dtype=np.float32)
+    ys = np.arange(0, h, st, dtype=np.float32)
+    gx, gy = np.meshgrid(xs, ys)
+    return np.ascontiguousarray(np.stack([gx, gy], axis=-1))
 
 
 def _image_stream(paths, scale, srcmap, loaders=()):
@@ -198,14 +251,22 @@ def run_monocular(
     srcmap = build_undistort_map(calib) if undistort and calib.distortion is not None else None
     K = jnp.asarray(calib.K)
     items = list(sequence)[:max_frames]
-    use_chunk = bool(chunk and chunk > 1) and not pose_graph and len(items) > chunk
+    use_chunk = bool(chunk and chunk > 1) and len(items) > chunk
     loaders: list = []
     # Chunked mode ships raw uint8 (device normalizes, frame._normalize_gray)
     # — 4x less host->device traffic; the scale-1.0 stream keeps the decode
-    # values exact so the cast is lossless.
+    # values exact so the cast is lossless.  The undistortion map is
+    # composed with the 2**culls pre-cull stride (_composed_cull_map), so
+    # the native loader's worker threads emit 160x120 frames directly —
+    # 16x less remap work and no per-frame Python stride/copy.
+    st_ = 2 ** cfg.pyramid.culls if use_chunk else 1
+    stream_map = (
+        _composed_cull_map(srcmap, items[0].gray_path, st_)
+        if use_chunk else srcmap
+    )
     stream = _image_stream(
         [it.gray_path for it in items], 1.0 if use_chunk else 1 / 255.0,
-        srcmap, loaders=loaders,
+        stream_map, loaders=loaders,
     )
     gray, mask = next(stream)
     if not use_chunk:
@@ -213,7 +274,7 @@ def run_monocular(
             jnp.asarray(gray), jnp.asarray(mask), K, jax.random.PRNGKey(seed), cfg
         )
     harvester = None
-    if pose_graph:
+    if pose_graph and not use_chunk:
         from dvo_tpu.models.posegraph import PoseGraphHarvester
 
         harvester = PoseGraphHarvester(
@@ -231,13 +292,13 @@ def run_monocular(
         from dvo_tpu.models.odometry import monocular_run
 
         # HOST PRE-CULL: the pipeline's first device op point-samples the
-        # input by 2**culls (cull_image) — an exact strided slice the host
-        # can apply before shipping, cutting host->device traffic 4**culls
-        # (16x at the reference monocular operating point; the link is the
-        # chunked driver's bottleneck on remote-device hosts).  The device
-        # program then runs with culls=0 on identical pixels.
+        # input by 2**culls (cull_image) — an exact stride the loader's
+        # composed map already applied (see stream_map above), cutting
+        # host->device traffic 4**culls (16x at the reference monocular
+        # operating point; the link is the chunked driver's bottleneck on
+        # remote-device hosts).  The device program runs with culls=0 on
+        # identical pixels.
         culls = cfg.pyramid.culls
-        st_ = 2 ** culls
         cfg_dev = _dc.replace(
             cfg, pyramid=_dc.replace(cfg.pyramid, culls=0)
         ) if culls else cfg
@@ -246,20 +307,20 @@ def run_monocular(
             K_host[:2] /= st_            # cull_intrinsic semantics
         K_dev = jnp.asarray(K_host)
 
-        def quantize_cull(g):
+        def quantize(g):
             # Fractional color luma -> nearest gray level (the reference's
-            # cvtColor->8U semantics, loader.cpp:59), then the exact
-            # point-sample cull.
-            return np.rint(g[::st_, ::st_]).astype(np.uint8)
+            # cvtColor->8U semantics, loader.cpp:59); frames arrive from
+            # the stream already pre-culled.
+            return np.rint(g).astype(np.uint8)
 
-        gray_c = quantize_cull(gray)
+        gray_c = quantize(gray)
         h, w = gray_c.shape
         # The validity mask is the undistortion-border map — constant per
         # rig — so it stages on device ONCE; re-shipping an (N, H, W) bool
         # per chunk would double the host->device traffic (measured: the
         # tunnel link, not the chip, bounds chunked CLI throughput).
         mask_full = np.asarray(mask)
-        mask_dev = jnp.asarray(mask_full[::st_, ::st_])
+        mask_dev = jnp.asarray(mask_full)
         state = monocular_init(
             jnp.asarray(gray_c), mask_dev, K_dev,
             jax.random.PRNGKey(seed), cfg_dev,
@@ -267,11 +328,54 @@ def run_monocular(
         t_sec = time.perf_counter()
         n_done = [0]
 
+        # --- pose-graph harvest machinery (chunked driver; round-4 forced
+        # --pose-graph onto the 14 fps per-frame path).  Constraints are
+        # harvested from the drained StepResult rows; keyframe gray
+        # snapshots come from the very chunk buffers just shipped; the
+        # retiring keyframes' refined depth/sigma come from a per-chunk
+        # packed ring fetch that pipelines with the next chunk's
+        # execution.  Live refinements (--pose-graph-every) apply to the
+        # device state two chunks after their trigger (results drain one
+        # chunk behind); the rows emitted in between are corrected
+        # retroactively so the final apply_refinement sees one consistent
+        # chain (corr_records: frames in [from_fi, effective_fi) composed
+        # from the pre-correction reference).
+        corr_records = []    # (from_fi, effective_fi, corr 4x4)
+        pending_corr = []    # refinements awaiting device application
+        chunk_grays = {}     # first step index -> host uint8 rows
+        refine_due = [False]
+        dispatched = [0]
+        pack_ring = None
+        if pose_graph:
+            from dvo_tpu.models.posegraph import PoseGraphHarvester
+
+            harvester = PoseGraphHarvester(
+                cfg_dev, K_host, verbose=verbose,
+                refine_every=pose_graph_every,
+            )
+
+            @jax.jit
+            def pack_ring(hist):
+                return jnp.concatenate(
+                    [hist.depth.ravel(), hist.sigma.ravel()]
+                )
+
         def on_frame(step_idx, row):
             fi = 1 + step_idx
             n_done[0] += 1
-            poses.append(np.asarray(row.T_world))
+            T = np.asarray(row.T_world)
+            for f0, eff, corr in corr_records:
+                if f0 <= fi < eff:
+                    T = corr @ T
+            poses.append(T)
             times.append(items[fi].timestamp)
+            if harvester is not None and bool(row.is_keyframe):
+                first = (step_idx // chunk) * chunk
+                g = chunk_grays[first][step_idx - first]
+                due = harvester.on_chunk_row(
+                    fi, row, g, mask_full, T_emit=T
+                )
+                refine_due[0] = refine_due[0] or due
             if metrics is not None:
                 avg = (time.perf_counter() - t_sec) / n_done[0]
                 metrics.log_frame(row, avg, items[fi].timestamp)
@@ -291,18 +395,74 @@ def run_monocular(
                     "chunked driver requires a constant validity mask "
                     "(it is shipped once); got a frame-varying mask"
                 )
-            bufs[0][k] = quantize_cull(g)
+            bufs[0][k] = quantize(g)
 
         def dispatch(bufs):
             nonlocal state
+            if harvester is not None:
+                chunk_grays[dispatched[0] * chunk] = bufs[0]
+            dispatched[0] += 1
             state, res = monocular_run(
                 state, jnp.asarray(bufs[0]), mask_dev, K_dev, cfg_dev
             )
             return res
 
+        def make_aux():
+            return pack_ring(state.history) if harvester is not None else None
+
+        def on_chunk_done(first_index, count, aux):
+            if harvester is None:
+                return
+            chunk_grays.pop(first_index, None)
+            ring = np.asarray(aux)
+            cap = cfg_dev.mapper.history_capacity
+            hw = h * w
+            harvester.absorb_ring(
+                ring[:cap * hw].reshape(cap, h, w),
+                ring[cap * hw:].reshape(cap, h, w),
+            )
+            if refine_due[0]:
+                refine_due[0] = False
+                out = harvester.refine_live_chunked()
+                if out is not None:
+                    pending_corr.append(out)
+
+        def apply_pending():
+            nonlocal state
+            if harvester is None or not pending_corr:
+                return
+            from dvo_tpu.models.posegraph import apply_live_correction
+
+            cap = cfg_dev.mapper.history_capacity
+            for xi_ref, corr in pending_corr:
+                m_nodes = len(xi_ref)
+                xi_slot = np.zeros((cap, 6), np.float32)
+                id_slot = np.full((cap,), -2, np.int32)
+                # Deterministic push->slot layout: node k is ring push
+                # k+1 (push 0 = the init keyframe), slot = push % cap.
+                for k in range(max(0, m_nodes - cap), m_nodes):
+                    slot = (k + 1) % cap
+                    xi_slot[slot] = xi_ref[k]
+                    id_slot[slot] = harvester.nodes[k].frame_idx
+                max_id = harvester.nodes[m_nodes - 1].frame_idx
+                state = apply_live_correction(
+                    state, jnp.asarray(xi_slot), jnp.asarray(id_slot),
+                    jnp.asarray(max_id, jnp.int32),
+                    jnp.asarray(corr.astype(np.float32)),
+                )
+                corr_records.append(
+                    (max_id, 1 + dispatched[0] * chunk, corr)
+                )
+            pending_corr.clear()
+
         done, chunk_walls = _run_chunks(
-            len(items) - 1, chunk, alloc, fill_row, dispatch, on_frame
+            len(items) - 1, chunk, alloc, fill_row, dispatch, on_frame,
+            on_chunk_done=on_chunk_done, make_aux=make_aux,
+            before_dispatch=apply_pending,
         )
+        # A refinement triggered by the final chunks applies to the state
+        # the tail frames will run on.
+        apply_pending()
         # Per-frame seconds from each chunk's own wall time: the first
         # chunk typically absorbs the one-time compile, so downstream
         # medians reflect steady-state throughput.
@@ -314,10 +474,17 @@ def run_monocular(
         item = items[fi]
         gray, mask = next(stream)
         if use_chunk:
-            # The raw-count stream feeds the tail too: quantize + pre-cull
-            # exactly as the chunk rows were; the device normalizes.
-            gray = quantize_cull(gray)
-            mask = mask[::st_, ::st_]
+            # The raw-count stream feeds the tail too (frames arrive
+            # pre-culled): quantize exactly as the chunk rows were; the
+            # device normalizes.  Same constant-mask requirement as
+            # fill_row — a frame-varying mask must not be silently
+            # replaced by the staged one.
+            gray = quantize(gray)
+            if not np.array_equal(np.asarray(mask), mask_full):
+                raise ValueError(
+                    "chunked driver requires a constant validity mask "
+                    "(it is shipped once); got a frame-varying mask"
+                )
             t0 = time.perf_counter()
             state, res = monocular_step(
                 state, jnp.asarray(gray), mask_dev, K_dev, cfg_dev
@@ -326,6 +493,10 @@ def run_monocular(
             secs.append(time.perf_counter() - t0)
             poses.append(np.asarray(res.T_world))
             times.append(item.timestamp)
+            if harvester is not None and bool(res.is_keyframe):
+                # Tail keyframes harvest like chunk rows; their deferred
+                # ring snapshots resolve in the final absorb below.
+                harvester.on_chunk_row(fi, res, gray, mask_full)
             if metrics is not None:
                 metrics.log_frame(res, secs[-1], item.timestamp)
             if verbose:
@@ -342,7 +513,18 @@ def run_monocular(
         times.append(item.timestamp)
         if harvester is not None:
             # Periodic live refinement may return a drift-corrected state.
-            state = harvester.on_frame(fi, res, state, gray, mask) or state
+            corrected = harvester.on_frame(fi, res, state, gray, mask)
+            if corrected is not None:
+                state = corrected
+                # This frame IS the refined keyframe: re-emit its pose as
+                # corrected, or frames tracked relative to the corrected
+                # reference would get the correction applied a second time
+                # by finalize's apply_refinement (which trusts
+                # inv(poses[base]) @ poses[f] as the tracked relative
+                # motion) — round-4 advisor, severity medium.
+                from dvo_tpu import lie
+
+                poses[-1] = np.asarray(lie.se3_exp(corrected.ref.xi))
         if metrics is not None:
             metrics.log_frame(res, secs[-1], item.timestamp)
         if verbose:
@@ -352,6 +534,15 @@ def run_monocular(
             )
     pose_arr = np.stack(poses)
     if harvester is not None:
+        if use_chunk and harvester._pending_snaps:
+            cap = cfg_dev.mapper.history_capacity
+            ring = np.asarray(pack_ring(state.history))
+            hw = ring.size // (2 * cap)
+            hh, ww = state.ref.base.shape
+            harvester.absorb_ring(
+                ring[:cap * hw].reshape(cap, hh, ww),
+                ring[cap * hw:].reshape(cap, hh, ww),
+            )
         pose_arr, pg_costs = harvester.finalize(np.asarray(times), pose_arr, state)
         if verbose and pg_costs.size:
             print(
@@ -397,13 +588,25 @@ def run_rgbd(
     items = list(sequence)[:max_frames]
     use_chunk = bool(chunk and chunk > 1) and len(items) > chunk
     loaders: list = []
+    # Chunked mode: compose undistortion with the 2**culls pre-cull stride
+    # so the loader emits base-resolution frames directly (exact — see
+    # _composed_cull_map; 4**culls less traffic and remap work).
+    st_ = 2 ** cfg.pyramid.culls if use_chunk else 1
+    gmap = (
+        _composed_cull_map(srcmap, items[0].gray_path, st_)
+        if use_chunk else srcmap
+    )
+    dmap = (
+        _composed_cull_map(srcmap, items[0].depth_path, st_)
+        if use_chunk else srcmap
+    )
     gray_stream = _image_stream(
         [it.gray_path for it in items], 1.0 if use_chunk else 1 / 255.0,
-        srcmap, loaders=loaders,
+        gmap, loaders=loaders,
     )
     depth_stream = _image_stream(
         [it.depth_path for it in items],
-        1.0 if use_chunk else 1.0 / TUM_DEPTH_SCALE, srcmap,
+        1.0 if use_chunk else 1.0 / TUM_DEPTH_SCALE, dmap,
         loaders=loaders,
     )
 
@@ -434,10 +637,10 @@ def run_rgbd(
 
         from dvo_tpu.models.odometry import rgbd_run_raw
 
-        # HOST PRE-CULL (see run_monocular): ship 4**culls less data; the
-        # device program runs with culls=0 on identical pixels.
+        # HOST PRE-CULL (see run_monocular): frames arrive from the
+        # composed-map streams already at base resolution; the device
+        # program runs with culls=0 on identical pixels.
         culls = cfg.pyramid.culls
-        st_ = 2 ** culls
         cfg_dev = _dc.replace(
             cfg, pyramid=_dc.replace(cfg.pyramid, culls=0)
         ) if culls else cfg
@@ -448,9 +651,9 @@ def run_rgbd(
 
         g0, m0, d0 = prep_raw()
         mask_full = np.asarray(m0)
-        mask_dev = jnp.asarray(mask_full[::st_, ::st_])
-        gray_c = np.rint(g0[::st_, ::st_]).astype(np.uint8)
-        depth_c = (d0[::st_, ::st_].astype(np.float32)
+        mask_dev = jnp.asarray(mask_full)
+        gray_c = np.rint(g0).astype(np.uint8)
+        depth_c = (d0.astype(np.float32)
                    * np.float32(1.0 / TUM_DEPTH_SCALE))
         sigma_c = np.where(depth_c > 1e-6, depth_sigma, 1.0).astype(np.float32)
         state = rgbd_init(
@@ -482,9 +685,8 @@ def run_rgbd(
                 raise ValueError(
                     "chunked driver requires a constant validity mask"
                 )
-            # Quantize + pre-cull (rint commutes with the point-sample).
-            bufs[0][k] = np.rint(g[::st_, ::st_])
-            bufs[1][k] = d[::st_, ::st_]   # depth counts are exact ints
+            bufs[0][k] = np.rint(g)   # fractional luma -> nearest level
+            bufs[1][k] = d            # depth counts are exact ints
 
         def dispatch(bufs):
             nonlocal state
@@ -515,10 +717,12 @@ def run_rgbd(
         item = items[fi]
         gray, mask, depth, sigma = prep(item)
         if use_chunk:
-            # Tail frames pre-cull like the chunk rows did.
-            gray = gray[::st_, ::st_]
-            depth = depth[::st_, ::st_]
-            sigma = sigma[::st_, ::st_]
+            # Tail frames arrive pre-culled from the composed-map streams;
+            # enforce the same constant-mask requirement as fill_row.
+            if not np.array_equal(np.asarray(mask), mask_full):
+                raise ValueError(
+                    "chunked driver requires a constant validity mask"
+                )
             t0 = time.perf_counter()
             state, res = rgbd_step(
                 state, jnp.asarray(gray), mask_dev,
@@ -553,6 +757,7 @@ def run_kinect(
     verbose: bool = False,
     metrics=None,
     chunk: int = 0,
+    gray_cull: int = 2,
 ):
     """Kinect v2 dual-camera pipeline (reference KinectLoader::getMappedImages,
     loader.cpp:90-101 + test/kinect-vo.cpp): undistort color and depth with
@@ -568,6 +773,22 @@ def run_kinect(
     decodes and undistorts.  ``chunk`` > 1: chunked device-side driver
     (see ``run_monocular``) — raw uint8/uint16 chunks, registration vmapped
     inside the chunk program.
+
+    Host pre-cull (round 5): the DEPTH stream is pre-culled by the full
+    ``2**cfg.pyramid.culls`` via a composed undistort∘stride map and the
+    device runs with culls=0 — EXACT (registration of the strided depth
+    grid with depth_K/2**culls projects the identical rays, so the mapped
+    planes equal the full-res registration's culled output pixel for
+    pixel) while cutting depth traffic 4**culls and registration compute
+    16x at the mono operating point.  ``gray_cull`` pre-culls the 1920x1080
+    COLOR stream (round-4 shipped ~2 MB/frame, a ~22 fps tunnel ceiling);
+    unlike the depth cull this is an approximation — registration then
+    bilinearly samples the strided gray grid with rgb_K/gray_cull — but at
+    gray_cull=2 the sampled image still holds 3.7x the final tracking
+    base's resolution (measured: rig accuracy gates unchanged,
+    tests/test_kinect.py).  0/1 disables.  Applied identically to the
+    chunked and per-frame paths, which therefore stay mutually
+    bit-identical.
     """
     from dvo_tpu.ops.warp import map_depth_to_gray
 
@@ -585,8 +806,27 @@ def run_kinect(
         if undistort and kcalib.depth.distortion is not None
         else None
     )
-    rgb_K = jnp.asarray(kcalib.rgb.K)
-    depth_K = jnp.asarray(kcalib.depth.K)
+    items_all = list(sequence)
+    gray_cull = max(int(gray_cull), 1)
+    culls = cfg.pyramid.culls
+    dst = 2 ** culls
+    if items_all:
+        rgb_map = _composed_cull_map(
+            rgb_map, items_all[0].gray_path, gray_cull
+        )
+        depth_map = _composed_cull_map(
+            depth_map, items_all[0].depth_path, dst
+        )
+    if culls:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, pyramid=_dc.replace(cfg.pyramid, culls=0))
+    rgb_K_h = np.asarray(kcalib.rgb.K, np.float32).copy()
+    rgb_K_h[:2] /= gray_cull
+    depth_K_h = np.asarray(kcalib.depth.K, np.float32).copy()
+    depth_K_h[:2] /= dst
+    rgb_K = jnp.asarray(rgb_K_h)
+    depth_K = jnp.asarray(depth_K_h)
     invT = jnp.asarray(kcalib.invT)
 
     from dvo_tpu.utils.datasets import TUM_DEPTH_SCALE
@@ -611,7 +851,7 @@ def run_kinect(
         )(g, d)
         return mapped, mask, d, sigma
 
-    items = list(sequence)[:max_frames]
+    items = items_all[:max_frames]
     use_chunk = bool(chunk and chunk > 1) and len(items) > chunk
     # Both paths decode through the same (native-prefetch) streams at raw
     # scale so chunked and per-frame results are bit-identical.
