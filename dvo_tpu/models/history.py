@@ -35,6 +35,10 @@ class KeyframeHistory:
     depth: jax.Array   # (C, H, W) — keyframe depth at push time (BA window)
     sigma: jax.Array   # (C, H, W)
     xi: jax.Array      # (C, 6) world pose twists
+    kf_id: jax.Array   # (C,) int32 — frame_id of the keyframe in each slot
+    #                    (-1 = never written); lets host-side consumers
+    #                    (pose-graph live write-back, utils/runner) address
+    #                    slots by frame identity without racing the ring
     head: jax.Array    # () int32 — slot of the newest keyframe
     count: jax.Array   # () int32 — number of live keyframes (<= C)
 
@@ -53,6 +57,7 @@ class KeyframeHistory:
             depth=jnp.zeros((capacity, h, w), jnp.float32),
             sigma=jnp.ones((capacity, h, w), jnp.float32),
             xi=jnp.zeros((capacity, 6), jnp.float32),
+            kf_id=jnp.full((capacity,), -1, jnp.int32),
             head=jnp.asarray(-1, jnp.int32),
             count=jnp.asarray(0, jnp.int32),
         )
@@ -74,6 +79,7 @@ def push(history: KeyframeHistory, frame: Frame) -> KeyframeHistory:
         depth=history.depth.at[slot].set(s.depth),
         sigma=history.sigma.at[slot].set(s.sigma),
         xi=history.xi.at[slot].set(frame.xi),
+        kf_id=history.kf_id.at[slot].set(frame.frame_id),
         head=slot,
         count=jnp.minimum(history.count + 1, history.capacity),
     )

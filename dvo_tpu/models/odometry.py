@@ -67,6 +67,12 @@ class StepResult:
     tracking: TrackResult
     mapping: DepthUpdateStats
     ba_cost: jax.Array        # () final windowed-BA cost; -1 when BA not run
+    # (window, 6) BA-refined window poses when this step ran BA (ba_cost
+    # >= 0), zeros otherwise; (0, 6) when cfg.ba.enabled is False.  Lets
+    # the pose-graph harvester build BA-window edges from chunked
+    # StepResults without a ring fetch at each promotion (the ring's xi at
+    # chunk end has been rewritten by LATER promotions' BA solves).
+    ba_window_xi: jax.Array
 
 
 # ------------------------------------------------------------------ monocular
@@ -147,6 +153,9 @@ def monocular_step(state: VOState, gray, mask, K, cfg: DVOConfig = DVOConfig.mon
     zero_stats = DepthUpdateStats.zero()
 
     no_ba_cost = jnp.asarray(-1.0, jnp.float32)
+    no_win_xi = jnp.zeros(
+        (cfg.ba.window if cfg.ba.enabled else 0, 6), jnp.float32
+    )
 
     def promote(_):
         base = state.ref.base
@@ -182,17 +191,17 @@ def monocular_step(state: VOState, gray, mask, K, cfg: DVOConfig = DVOConfig.mon
                 r = dataclasses.replace(
                     with_depth(r, res.depth[-1]), xi=res.xi[-1]
                 )
-                return h, r, res.costs[-1]
+                return h, r, res.costs[-1], res.xi
 
             def skip_ba(h_r):
-                return h_r[0], h_r[1], no_ba_cost
+                return h_r[0], h_r[1], no_ba_cost, no_win_xi
 
-            hist, new_ref, cost = lax.cond(
+            hist, new_ref, cost, win_xi = lax.cond(
                 hist.count >= cfg.ba.window, run_ba, skip_ba, (hist, new_ref)
             )
         else:
-            cost = no_ba_cost
-        return hist, new_ref, zero_stats, cost
+            cost, win_xi = no_ba_cost, no_win_xi
+        return hist, new_ref, zero_stats, cost, win_xi
 
     def update(_):
         base = state.ref.base
@@ -211,9 +220,12 @@ def monocular_step(state: VOState, gray, mask, K, cfg: DVOConfig = DVOConfig.mon
                 base.depth, base.sigma, state.ref.age,
                 state.history, k_reset, cfg.mapper,
             )
-        return state.history, with_depth(state.ref, d, s, age), stats, no_ba_cost
+        return (state.history, with_depth(state.ref, d, s, age), stats,
+                no_ba_cost, no_win_xi)
 
-    history, ref, stats, ba_cost = lax.cond(need_kf, promote, update, None)
+    history, ref, stats, ba_cost, ba_win_xi = lax.cond(
+        need_kf, promote, update, None
+    )
 
     # --- regularize the reference keyframe (mapper.cpp:30,139-144) ---
     if resolve_backend(cfg.mapper.backend) == "pallas":
@@ -246,8 +258,32 @@ def monocular_step(state: VOState, gray, mask, K, cfg: DVOConfig = DVOConfig.mon
         tracking=tr,
         mapping=stats,
         ba_cost=ba_cost,
+        ba_window_xi=ba_win_xi,
     )
     return new_state, result
+
+
+def _cull_chunk(cfg: DVOConfig, K, *stacks):
+    """Hoist the 2**culls input decimation OUT of the scan: one batched
+    stride over the whole (N, H, W) chunk instead of a per-frame strided
+    slice of an HBM-resident stack inside the scan body.  Bit-identical
+    (the base pyramid level IS the culled input, frame.py), but measured
+    ~2 ms/frame cheaper at the 512x424 RGB-D operating point — in-scan
+    strided gathers of full-res frames dominate the step itself (round-5
+    probe).  Returns (cfg with culls=0, culled K, culled stacks)."""
+    from dvo_tpu.ops.image import cull_image, cull_intrinsic
+
+    culls = cfg.pyramid.culls
+    if not culls:
+        return cfg, K, stacks
+    cfg = dataclasses.replace(
+        cfg, pyramid=dataclasses.replace(cfg.pyramid, culls=0)
+    )
+    return (
+        cfg, cull_intrinsic(K, culls),
+        tuple(cull_image(s, culls) if s is not None else None
+              for s in stacks),
+    )
 
 
 @partial(jax.jit, static_argnames="cfg")
@@ -264,7 +300,10 @@ def monocular_run(state: VOState, grays, masks, K, cfg: DVOConfig = DVOConfig.mo
     ``masks`` may be (H, W) — one validity mask shared by every frame of
     the chunk (the usual case: it is the undistortion-border map, constant
     for a rig) — which saves re-shipping N identical masks per chunk over
-    the host->device link."""
+    the host->device link.
+
+    The 2**culls decimation is hoisted out of the scan (``_cull_chunk``)."""
+    cfg, K, (grays, masks) = _cull_chunk(cfg, K, grays, masks)
     if masks.ndim == 2:
         def step(st, g):
             return monocular_step(st, g, masks, K, cfg)
@@ -324,6 +363,7 @@ def rgbd_step(state: RGBDState, gray, mask, depth, sigma, K, cfg: DVOConfig = DV
         tracking=tr,
         mapping=DepthUpdateStats.zero(),
         ba_cost=jnp.asarray(-1.0, jnp.float32),
+        ba_window_xi=jnp.zeros((0, 6), jnp.float32),
     )
     return RGBDState(ref=frame, frame_count=state.frame_count + 1,
                      vel=tr.xi), result
@@ -334,7 +374,11 @@ def rgbd_run(state: RGBDState, grays, masks, depths, sigmas, K,
              cfg: DVOConfig = DVOConfig.rgbd()):
     """Device-resident RGB-D sequence driver: ``lax.scan`` of ``rgbd_step``
     over a stacked chunk (leading N axis on grays/masks/depths/sigmas) —
-    see ``monocular_run``.  ``masks`` may be (H, W), shared by the chunk."""
+    see ``monocular_run``.  ``masks`` may be (H, W), shared by the chunk.
+    The 2**culls decimation is hoisted out of the scan (``_cull_chunk``)."""
+    cfg, K, (grays, masks, depths, sigmas) = _cull_chunk(
+        cfg, K, grays, masks, depths, sigmas
+    )
     if masks.ndim == 2:
         def step(st, inp):
             g, d, s = inp
@@ -360,7 +404,14 @@ def rgbd_run_raw(state: RGBDState, grays, masks, depths_raw, K,
     (depth_sigma where measured, 1.0 where missing — transform.cpp:74)
     run on device, so the host ships 3 bytes/pixel instead of 12 — the
     host->device link (PCIe in production, a ~45 MB/s tunnel on this dev
-    host) is the chunked driver's scarcest resource."""
+    host) is the chunked driver's scarcest resource.
+
+    The chunk cull is hoisted ahead of even the dtype conversions (integer
+    strides commute with the scale multiply exactly), so full-res raw
+    chunks never touch f32."""
+    cfg, K, (grays, masks, depths_raw) = _cull_chunk(
+        cfg, K, grays, masks, depths_raw
+    )
     if jnp.issubdtype(depths_raw.dtype, jnp.integer):
         # Match the per-frame runner path exactly (the prefetch stream
         # multiplies decoded counts by an f32 reciprocal scale): same op,

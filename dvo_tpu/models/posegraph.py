@@ -160,6 +160,50 @@ def optimize_pose_graph(
     return xi_out, costs
 
 
+@jax.jit
+def apply_live_correction(state, xi_ref_slot, id_slot, max_id, corr):
+    """Write a chunked-driver live refinement into the device VOState.
+
+    The chunked pipeline applies corrections two chunks after the
+    triggering promotion (results drain one chunk behind execution), so by
+    application time the ring may hold keyframes promoted AFTER the
+    refinement was computed.  Slots are therefore addressed by frame
+    identity (history.kf_id):
+
+      * kf_id[slot] == id_slot[slot]  -> the slot still holds a refined
+        node; take its refined twist (xi_ref_slot, laid out by the
+        deterministic push->slot mapping slot = push % capacity);
+      * kf_id[slot] > max_id          -> promoted after the refinement;
+        move rigidly by the NEWEST refined node's left-correction
+        ``corr = T_new @ inv(T_old)`` (its children were tracked relative
+        to that node's chain);
+      * otherwise (the never-refined init keyframe, or empty)  -> keep.
+
+    The reference keyframe is the ring head, so its corrected twist is
+    read back from the updated ring.  Relative state (prev_rel, vel) is
+    invariant under the left-multiplication.  Depth/sigma maps are NOT
+    re-scaled — see PoseGraphHarvester docstring for the measured bound on
+    correction magnitudes."""
+    import dataclasses as dc
+
+    hist = state.history
+    rigid = jax.vmap(
+        lambda x: lie.se3_log(corr @ lie.se3_exp(x))
+    )(hist.xi)
+    take_ref = hist.kf_id == id_slot
+    take_rigid = hist.kf_id > max_id
+    new_xi = jnp.where(
+        take_ref[:, None], xi_ref_slot,
+        jnp.where(take_rigid[:, None], rigid, hist.xi),
+    )
+    head_xi = new_xi[hist.head]
+    return dc.replace(
+        state,
+        history=dc.replace(hist, xi=new_xi),
+        ref=dc.replace(state.ref, xi=head_xi),
+    )
+
+
 # ----------------------------------------------------------- host-side utils
 
 def chain_edges(kf_xi, weight=1.0):
@@ -231,7 +275,7 @@ class PoseGraphHarvester:
 
     def __init__(self, cfg, K, max_closures: int = 16,
                  closure_residual: float = 0.02, verbose: bool = False,
-                 refine_every: int = 0):
+                 refine_every: int = 0, pg_cfg: "PoseGraphConfig" = None):
         import numpy as np  # noqa: F401
 
         self.cfg = cfg
@@ -240,11 +284,20 @@ class PoseGraphHarvester:
         self.closure_residual = closure_residual
         self.verbose = verbose
         self.refine_every = refine_every
+        # One solver config for BOTH the periodic live refinements and the
+        # final global pass (round-4 advisor: _refine_live used to ignore
+        # the cfg passed to finalize).
+        self.pg_cfg = pg_cfg if pg_cfg is not None else PoseGraphConfig()
         self.nodes: list[_Node] = []
         self.e_i, self.e_j, self.e_z, self.e_w = [], [], [], []
         self.closures = 0
         self._closure_pairs: set = set()
         self.live_refinements = 0
+        # Chunked-driver bookkeeping (on_chunk_row/absorb_ring): ring pushes
+        # seen so far (the init keyframe is push 0) and deferred
+        # (node_index, ring_slot) depth/sigma snapshot requests.
+        self._pushes = 1
+        self._pending_snaps: list = []
 
     # ------------------------------------------------------------- harvest
 
@@ -314,6 +367,108 @@ class PoseGraphHarvester:
         ):
             return self._refine_live(state)
         return None
+
+    # ------------------------------------------- harvest (chunked driver)
+
+    def on_chunk_row(self, frame_idx, row, gray, mask, T_emit=None):
+        """Chunked-driver analog of ``on_frame`` for a KEYFRAME StepResult
+        row (utils.runner feeds these while draining chunk results; round-4
+        forced --pose-graph onto the per-frame path).  Differences from the
+        per-frame entry: the retiring keyframe's depth/sigma snapshot is
+        DEFERRED (the live ring is on device; the runner fetches it once
+        per chunk and calls ``absorb_ring``), and BA edges come from
+        ``row.ba_window_xi`` — the refined window poses AT this promotion,
+        which the chunk-end ring no longer holds once later promotions
+        re-ran BA.  Returns True when a periodic live refinement is due
+        (the caller refines after absorbing this chunk's ring)."""
+        import numpy as np
+
+        cap = self.cfg.mapper.history_capacity
+        node = _Node(
+            frame_idx=frame_idx,
+            # T_emit: the (possibly retro-corrected) pose the runner
+            # emitted for this frame; defaults to the raw row pose.
+            T_emit=(np.asarray(T_emit) if T_emit is not None
+                    else np.asarray(row.T_world)).copy(),
+            gray=np.asarray(gray).copy(),
+            mask=np.asarray(mask).copy(),
+        )
+        if self.nodes:
+            self.e_i.append(len(self.nodes) - 1)
+            self.e_j.append(len(self.nodes))
+            self.e_z.append(np.asarray(row.relative_xi))
+            self.e_w.append(self.W_ODOM)
+            # The outgoing keyframe retired at this promotion; its slot is
+            # the previous push's (pushes are the only head movement,
+            # models/history.push).
+            self._pending_snaps.append(
+                (len(self.nodes) - 1, (self._pushes - 1) % cap)
+            )
+        self._pushes += 1
+        self.nodes.append(node)
+
+        if float(row.ba_cost) >= 0.0 and self.cfg.ba.enabled:
+            win = np.asarray(row.ba_window_xi)
+            m = min(len(win), len(self.nodes))
+            Ts = [
+                np.asarray(lie.se3_exp(jnp.asarray(win[len(win) - m + a])))
+                for a in range(m)
+            ]
+            for a in range(m - 1):
+                n0 = len(self.nodes) - m + a
+                if n0 < 0:
+                    continue
+                for b in range(a + 1, m):
+                    n1 = len(self.nodes) - m + b
+                    z = np.asarray(
+                        lie.se3_log(jnp.asarray(np.linalg.inv(Ts[a]) @ Ts[b]))
+                    )
+                    self.e_i.append(n0)
+                    self.e_j.append(n1)
+                    self.e_z.append(z.astype(np.float32))
+                    self.e_w.append(self.W_BA)
+
+        return (
+            self.refine_every > 0
+            and len(self.nodes) >= 4
+            and len(self.nodes) % self.refine_every == 0
+        )
+
+    def absorb_ring(self, ring_depth, ring_sigma):
+        """Resolve deferred depth/sigma snapshots from a host copy of the
+        keyframe ring (fetched once per chunk — slots retired within a
+        chunk survive at least capacity-many subsequent pushes)."""
+        import numpy as np
+
+        for node_idx, slot in self._pending_snaps:
+            self.nodes[node_idx].depth = np.asarray(ring_depth[slot]).copy()
+            self.nodes[node_idx].sigma = np.asarray(ring_sigma[slot]).copy()
+        self._pending_snaps = []
+
+    def refine_live_chunked(self):
+        """Chunked-mode periodic refinement: mine closures + optimize over
+        the harvested nodes (``absorb_ring`` must have run).  Returns
+        ``(xi_ref (M,6), corr (4,4))`` — the refined node twists and the
+        NEWEST node's left-correction ``T_new @ inv(T_old)`` — or None.
+        The runner owns application: ring/ref write-back on device (older
+        slots take their node's refined pose, slots pushed since take the
+        rigid ``corr``) and retroactive trajectory fixing (frames emitted
+        since the newest refined keyframe composed from its OLD pose)."""
+        import numpy as np
+
+        t_old = self.nodes[-1].T_emit.copy()
+        xi_ref = self._refine_nodes()
+        if xi_ref is None:
+            return None
+        corr = self.nodes[-1].T_emit @ np.linalg.inv(t_old)
+        self.live_refinements += 1
+        if self.verbose:
+            print(
+                f"pose-graph live refinement #{self.live_refinements} "
+                f"(chunked): {len(self.nodes)} nodes, {len(self.e_w)} "
+                f"edges, {self.closures} closures"
+            )
+        return xi_ref, corr
 
     # ------------------------------------------------------------ closures
 
@@ -404,15 +559,12 @@ class PoseGraphHarvester:
 
     # ------------------------------------------------------ live refinement
 
-    def _refine_live(self, state, pg_cfg: PoseGraphConfig = PoseGraphConfig()):
-        """Periodic mid-run refinement: mine closures over the nodes so
-        far, optimize the graph, and write the corrections back into the
-        LIVE keyframe ring (history.xi + the reference keyframe's pose) so
-        subsequent tracking, mapping, and BA build on corrected geometry.
-        Returns the corrected VOState, or None when there is nothing to
-        correct."""
-        import dataclasses as dc
-
+    def _refine_nodes(self):
+        """Shared refinement core: mine closures over the harvested nodes,
+        optimize the graph with ``self.pg_cfg``, and move every node's
+        T_emit to its refined estimate.  Returns the refined (M, 6) twists
+        as numpy, or None when there is nothing to refine (no edges /
+        non-finite solve)."""
         import numpy as np
 
         self._mine_closures()
@@ -428,7 +580,9 @@ class PoseGraphHarvester:
             z=jnp.asarray(np.stack(self.e_z).astype(np.float32)),
             weight=jnp.asarray(np.asarray(self.e_w, np.float32)),
         )
-        xi_ref, _costs = optimize_pose_graph(jnp.asarray(xi0), edges, pg_cfg)
+        xi_ref, _costs = optimize_pose_graph(
+            jnp.asarray(xi0), edges, self.pg_cfg
+        )
         xi_ref = np.asarray(xi_ref)
         if not np.all(np.isfinite(xi_ref)):
             return None
@@ -436,6 +590,22 @@ class PoseGraphHarvester:
         # final global pass both start from here).
         for nd, x in zip(self.nodes, xi_ref):
             nd.T_emit = np.asarray(lie.se3_exp(jnp.asarray(x)))
+        return xi_ref
+
+    def _refine_live(self, state):
+        """Periodic mid-run refinement (per-frame driver): mine closures
+        over the nodes so far, optimize the graph, and write the
+        corrections back into the LIVE keyframe ring (history.xi + the
+        reference keyframe's pose) so subsequent tracking, mapping, and BA
+        build on corrected geometry.  Returns the corrected VOState, or
+        None when there is nothing to correct."""
+        import dataclasses as dc
+
+        import numpy as np
+
+        xi_ref = self._refine_nodes()
+        if xi_ref is None:
+            return None
         # Write back into the live ring: the newest min(count, capacity)
         # nodes occupy slots head, head-1, ... (history.born_slot layout).
         hist = state.history

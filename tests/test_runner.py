@@ -248,3 +248,61 @@ def test_chunked_with_ba_matches_per_frame():
     # through their convergence thresholds; measured ~5e-3.  A real
     # plumbing bug (BA skipped, wrong window slots) shifts poses >= 1e-1.
     np.testing.assert_allclose(poses_a, poses_b, atol=2e-2)
+
+
+@pytest.mark.slow
+def test_pose_graph_chunked_matches_per_frame():
+    """--pose-graph must ride the chunked driver (round-4 VERDICT item 3:
+    `and not pose_graph` forfeited the chunked path's ~10x throughput).
+    Finalize-only refinement (--pose-graph default) harvests identical
+    constraints either way — odometry edges from the drained StepResults,
+    keyframe gray snapshots from the shipped chunk buffers, retiring
+    depth/sigma from the per-chunk ring fetch — so the refined
+    trajectories must agree.  Tolerance covers the chunked path's integer
+    gray quantization (closure re-tracks sample quantized pixels) plus
+    scan-vs-standalone fusion noise, as in test_chunked_matches_per_frame."""
+    cfg = DVOConfig.monocular()
+    calib = Calibration.logicool()
+    n = 26
+    ts_a, poses_a, _ = run_monocular(
+        _seq(), calib, cfg, max_frames=n, pose_graph=True
+    )
+    ts_b, poses_b, _ = run_monocular(
+        _seq(), calib, cfg, max_frames=n, pose_graph=True, chunk=4
+    )
+    np.testing.assert_array_equal(ts_a, ts_b)
+    assert poses_b.shape == poses_a.shape
+    np.testing.assert_allclose(poses_a, poses_b, atol=5e-3)
+
+
+@pytest.mark.slow
+def test_pose_graph_chunked_periodic_live(monkeypatch):
+    """--pose-graph --pose-graph-every on the CHUNKED driver: live
+    refinements fire from the drained results, apply to the device ring
+    (slot-addressed by kf_id, posegraph.apply_live_correction), and the
+    emitted trajectory stays finite/rigid with the retroactive correction
+    records keeping the chain consistent for finalize."""
+    import dvo_tpu.models.posegraph as pg
+
+    created = []
+    orig = pg.PoseGraphHarvester
+
+    class Capture(orig):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            created.append(self)
+
+    monkeypatch.setattr(pg, "PoseGraphHarvester", Capture)
+    cfg = DVOConfig.monocular()
+    calib = Calibration.logicool()
+    n = 40
+    ts, poses, _ = run_monocular(
+        _seq(), calib, cfg, max_frames=n, pose_graph=True,
+        pose_graph_every=2, chunk=6,
+    )
+    assert poses.shape == (n, 4, 4)
+    assert np.all(np.isfinite(poses))
+    RtR = np.einsum("nij,nik->njk", poses[:, :3, :3], poses[:, :3, :3])
+    np.testing.assert_allclose(RtR, np.broadcast_to(np.eye(3), RtR.shape),
+                               atol=1e-4)
+    assert created and created[0].live_refinements >= 1
