@@ -57,7 +57,7 @@ def monocular_run_streams(mesh: Mesh, states, grays, masks, K,
         mesh=mesh,
         in_specs=(P("stream"), P("stream"), P("stream"), P()),
         out_specs=(P("stream"), P("stream")),
-        check_rep=False,
+        check_vma=False,
     )
     def body(st, g, m, k):
         return jax.vmap(
@@ -79,7 +79,7 @@ def rgbd_run_streams(mesh: Mesh, states, grays, masks, depths, sigmas, K,
         mesh=mesh,
         in_specs=(P("stream"),) * 5 + (P(),),
         out_specs=(P("stream"), P("stream")),
-        check_rep=False,
+        check_vma=False,
     )
     def body(st, g, m, d, s, k):
         return jax.vmap(
