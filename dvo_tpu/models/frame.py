@@ -87,12 +87,20 @@ def _make_scene(gray, mask, depth, sigma, K, with_grads: bool = True) -> Scene:
 
 
 def _use_fused_build() -> bool:
-    """The fused Pallas build kernel runs on TPU (bit-identical planes in
-    one launch — ops/pallas/framebuild.py); the XLA build everywhere else
-    (CPU Pallas only exists in slow interpret mode)."""
+    """Opt-in (DVO_FUSED_BUILD=1, TPU only): the fused Pallas build kernel
+    (ops/pallas/framebuild.py) emits bit-identical planes in one launch.
+    Measured boundary (PROBE_r05.json): 2x faster than the XLA build
+    standalone (0.54 vs 1.05 ms amortized at 212x256x4 levels) but
+    neutral-to-1-3%-slower inside the full jitted pipeline, where XLA
+    fuses the build into neighbouring ops — so the pipeline default stays
+    XLA and the kernel is the measured fallback should that fusion ever
+    regress."""
+    import os
+
     import jax as _jax
 
-    return _jax.default_backend() == "tpu"
+    return (os.environ.get("DVO_FUSED_BUILD", "") == "1"
+            and _jax.default_backend() == "tpu")
 
 
 def _pyramid(gray, mask, depth, sigma, K, levels: int,
@@ -100,10 +108,10 @@ def _pyramid(gray, mask, depth, sigma, K, levels: int,
     """Coarsest-first pyramid, every level re-culled from the base
     (frame.cpp:30-37 culls the base scene by levels-1-i).
 
-    On TPU the whole pyramid — every level's planes, masks, and gradient
-    stencils — is ONE fused Pallas launch (ops/pallas/framebuild.py;
-    measured 1.67 ms/frame of small XLA ops at the RGB-D operating point,
-    PROBE_r04.json).  ``with_grads=False`` (deferred gradients) is ignored
+    With DVO_FUSED_BUILD=1 on TPU the whole pyramid — every level's
+    planes, masks, and gradient stencils — is ONE fused Pallas launch
+    (ops/pallas/framebuild.py; see ``_use_fused_build`` for the measured
+    boundary).  ``with_grads=False`` (deferred gradients) is ignored
     there: the in-kernel stencils are measured ~free, and emitting them
     keeps the promote branch's ``with_gradients`` a pass-through."""
     if _use_fused_build():

@@ -3,12 +3,18 @@ gray/depth/sigma planes, validity masks, and central-difference gradients —
 in ONE Pallas launch.
 
 Reference being replaced: the per-level ``cullImage`` + ``gradiate`` chain
-(src/core/convert.cpp:7-75 via src/system/frame.cpp:30-37).  The XLA build
-is ~30 small ops at awkward widths (212/106/53/27 lanes) whose per-op
-overheads dominate at these sizes — measured 1.67 ms/frame in-scan at the
-RGB-D operating point (PROBE_r04.json: rgbd_phase_ms_per_frame_build_scan),
-a quarter of the whole 5.21 ms frame.  One VMEM-resident kernel runs the
-same math in tens of microseconds.
+(src/core/convert.cpp:7-75 via src/system/frame.cpp:30-37).
+
+Measured boundary (round 5, PROBE_r05.json): 2x faster than the XLA build
+STANDALONE (0.54 vs 1.05 ms amortized at the 212x256 4-level RGB-D
+operating point) but neutral-to-1-3%-slower inside the full jitted
+pipeline, where XLA fuses the build into neighbouring ops — round 4's
+1.67 ms "build" attribution turned out to be the in-scan full-resolution
+input slicing, fixed by ``models/odometry._cull_chunk``.  The pipeline
+therefore defaults to the XLA build; this kernel is the opt-in
+(``DVO_FUSED_BUILD=1``) fallback that bounds the build cost should that
+fusion regress, and the standalone fast path (closure re-tracking,
+probes).
 
 TPU shape of the math (Mosaic cannot lower strided slices — probed, round
 5 — so point-sample decimation becomes MXU work):
