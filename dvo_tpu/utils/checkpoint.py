@@ -53,7 +53,19 @@ def load_state(path: str, template: Any) -> Any:
         for p, leaf in leaves_t:
             key = _leaf_key(p)
             if key not in data:
-                raise KeyError(f"checkpoint {path} missing leaf {key!r}")
+                # Forward-compat: the state gained a field after this
+                # checkpoint was written (e.g. history.kf_id, round 5).
+                # Resume with the template's init value — correctness
+                # degrades gracefully (kf_id only addresses live
+                # pose-graph write-backs) — but say so.
+                import warnings
+
+                warnings.warn(
+                    f"checkpoint {path} missing leaf {key!r}; using the "
+                    "template's init value (checkpoint predates the field)"
+                )
+                new_leaves.append(jax.numpy.asarray(leaf))
+                continue
             arr = data[key]
             want = np.asarray(leaf)
             if arr.shape != want.shape:
