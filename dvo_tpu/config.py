@@ -291,10 +291,22 @@ class DVOConfig:
         on the known-motion rigs (KINECT_1DEG rotation 1.052 vs 1.053
         deg/frame; KINECT_50MM translation 30.1 vs 27.8 mm, both deep
         inside the rigs' accuracy bands).  Accuracy-critical callers can
-        restore the reference threshold per run."""
+        restore the reference threshold per run.
+
+        pallas_precision "bf16" (round 5): executed GN iterations are
+        ~80%% of the RGB-D frame, and the single-pass sampling contraction
+        cuts the frame ~10%% (3.22 -> 2.91 ms/frame measured in-session)
+        with the rigs unchanged (1DEG median rotation 1.035 -> 1.027
+        deg/frame, 50MM translation 33.0 -> 32.8 mm) — measured-depth
+        frame-to-frame tracking is insensitive to the ~2^-9 sample
+        quantization that biases the noise-bootstrap monocular optimum
+        (TrackerConfig.pallas_precision note; mono stays "high").
+        gather_window 16 was ALSO tried and measured SLOWER than 32
+        (3.09/3.33 vs 2.91/3.22 ms for bf16/high) — refuted, kept 32."""
         return DVOConfig(
             pyramid=PyramidConfig(levels=4, culls=1),
-            tracker=TrackerConfig(warm_start=True, min_update_norm=1.5e-3),
+            tracker=TrackerConfig(warm_start=True, min_update_norm=1.5e-3,
+                                  pallas_precision="bf16"),
         )
 
 
