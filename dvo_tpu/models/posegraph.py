@@ -35,6 +35,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from dvo_tpu import lie
+from dvo_tpu.utils import oracle as _nplie  # host-side NumPy Lie math:
+# the harvester's bookkeeping runs per node/edge on the HOST; routing
+# these tiny exp/log/compose calls through jnp dispatches one device op
+# each — ~30 ms of tunnel RTT per call on remote-device dev hosts
+# (measured: --pose-graph --pose-graph-every dropped to 1.8 fps).  The
+# NumPy twins are float64 oracles of the same math (utils/oracle.py).
 
 
 @jax.tree_util.register_dataclass
@@ -220,9 +226,9 @@ def chain_edges(kf_xi, weight=1.0):
     n = kf_xi.shape[0]
     i = np.arange(n - 1, dtype=np.int32)
     j = i + 1
-    T = [np.asarray(lie.se3_exp(jnp.asarray(x))) for x in kf_xi]
+    T = [_nplie.se3_exp(np.asarray(x)) for x in kf_xi]
     z = np.stack([
-        np.asarray(lie.se3_log(jnp.asarray(np.linalg.inv(T[a]) @ T[b])))
+        _nplie.se3_log(np.linalg.inv(T[a]) @ T[b])
         for a, b in zip(i, j)
     ]).astype(np.float32)
     return i, j, z, np.full(n - 1, weight, np.float32)
@@ -292,6 +298,12 @@ class PoseGraphHarvester:
         self.e_i, self.e_j, self.e_z, self.e_w = [], [], [], []
         self.closures = 0
         self._closure_pairs: set = set()
+        # Candidates already re-tracked and REJECTED: periodic refinement
+        # used to re-track them at every firing (measured: a major cost of
+        # --pose-graph-every on remote-device hosts).  Geometry changes
+        # little between refinements; a rejected pair stays rejected.
+        self._tried_pairs: set = set()
+        self._closure_prog = None
         self.live_refinements = 0
         # Largest non-rigid relative-pose perturbation any refinement has
         # applied between consecutive live-ring keyframes (the quantity
@@ -349,16 +361,14 @@ class PoseGraphHarvester:
             Ts = {}
             for a in range(m):
                 s = (head - (m - 1 - a)) % hist.capacity
-                Ts[a] = np.asarray(lie.se3_exp(jnp.asarray(xi_all[s])))
+                Ts[a] = _nplie.se3_exp(xi_all[s])
             for a in range(m - 1):
                 n0 = len(self.nodes) - m + a
                 if n0 < 0:
                     continue
                 for b in range(a + 1, m):
                     n1 = len(self.nodes) - m + b
-                    z = np.asarray(
-                        lie.se3_log(jnp.asarray(np.linalg.inv(Ts[a]) @ Ts[b]))
-                    )
+                    z = _nplie.se3_log(np.linalg.inv(Ts[a]) @ Ts[b])
                     self.e_i.append(n0)
                     self.e_j.append(n1)
                     self.e_z.append(z.astype(np.float32))
@@ -416,8 +426,7 @@ class PoseGraphHarvester:
             win = np.asarray(row.ba_window_xi)
             m = min(len(win), len(self.nodes))
             Ts = [
-                np.asarray(lie.se3_exp(jnp.asarray(win[len(win) - m + a])))
-                for a in range(m)
+                _nplie.se3_exp(win[len(win) - m + a]) for a in range(m)
             ]
             for a in range(m - 1):
                 n0 = len(self.nodes) - m + a
@@ -425,9 +434,7 @@ class PoseGraphHarvester:
                     continue
                 for b in range(a + 1, m):
                     n1 = len(self.nodes) - m + b
-                    z = np.asarray(
-                        lie.se3_log(jnp.asarray(np.linalg.inv(Ts[a]) @ Ts[b]))
-                    )
+                    z = _nplie.se3_log(np.linalg.inv(Ts[a]) @ Ts[b])
                     self.e_i.append(n0)
                     self.e_j.append(n1)
                     self.e_z.append(z.astype(np.float32))
@@ -477,24 +484,6 @@ class PoseGraphHarvester:
 
     # ------------------------------------------------------------ closures
 
-    def _build_ref_frame(self, node: _Node):
-        """Keyframe Frame at base resolution from the host snapshot +
-        refined depth (depth/sigma are base-level; gray is input-res and is
-        pre-culled on host to match)."""
-        import numpy as np
-        from dvo_tpu.models.frame import build_frame_with_depth
-
-        s = 2 ** self.cfg.pyramid.culls
-        gray = node.gray[::s, ::s]
-        mask = node.mask[::s, ::s]
-        K = np.asarray(self.K, np.float32).copy() / s
-        K[2, 2] = 1.0
-        return build_frame_with_depth(
-            jnp.asarray(gray), jnp.asarray(mask),
-            jnp.asarray(node.depth), jnp.asarray(node.sigma),
-            jnp.asarray(K), self.cfg.pyramid.levels, 0, 0,
-        ), K
-
     def _mine_closures(self):
         import numpy as np
         from dvo_tpu.models.tracker import track
@@ -525,37 +514,51 @@ class PoseGraphHarvester:
         if not cands:
             return
 
-        t_cfg = self.cfg.tracker
-        tracked = jax.jit(
-            lambda o, r: track(o, r, t_cfg), static_argnums=()
-        )
-        for d, i, j in cands:
-            if (i, j) in self._closure_pairs:
-                continue
-            ref_frame, _ = self._build_ref_frame(self.nodes[i])
-            import numpy as np
+        # ONE jitted program per candidate: frame builds + the re-track
+        # fused (eager per-op dispatch of the builds cost dozens of tunnel
+        # RTTs per candidate on remote-device hosts).  Compiled once per
+        # node shape; results fetched in a single packed transfer.
+        if self._closure_prog is None:
+            t_cfg = self.cfg.tracker
+            levels = self.cfg.pyramid.levels
+
             from dvo_tpu.models.frame import build_frame_with_depth
 
-            s = 2 ** self.cfg.pyramid.culls
-            gray_j = self.nodes[j].gray[::s, ::s]
-            mask_j = self.nodes[j].mask[::s, ::s]
-            K = np.asarray(self.K, np.float32).copy() / s
-            K[2, 2] = 1.0
-            # Obj depth is unused by tracking; reuse the ref node's map.
-            obj_frame = build_frame_with_depth(
-                jnp.asarray(gray_j), jnp.asarray(mask_j),
-                jnp.asarray(self.nodes[i].depth),
-                jnp.asarray(self.nodes[i].sigma),
-                jnp.asarray(K), self.cfg.pyramid.levels, 0, 1,
-            )
-            tr = tracked(obj_frame, ref_frame)
-            it = int(np.asarray(tr.iterations)[-1])
-            resid = float(np.asarray(tr.residuals)[-1, max(it - 1, 0)])
+            @jax.jit
+            def closure_prog(g_i, m_i, d_i, s_i, g_j, m_j, K):
+                ref = build_frame_with_depth(g_i, m_i, d_i, s_i, K,
+                                             levels, 0, 0)
+                # Obj depth is unused by tracking; reuse the ref node's map.
+                obj = build_frame_with_depth(g_j, m_j, d_i, s_i, K,
+                                             levels, 0, 1)
+                tr = track(obj, ref, t_cfg)
+                it = tr.iterations[-1]
+                resid = tr.residuals[-1, jnp.maximum(it - 1, 0)]
+                return jnp.concatenate([tr.xi, resid[None]])
+
+            self._closure_prog = closure_prog
+
+        s = 2 ** self.cfg.pyramid.culls
+        K = np.asarray(self.K, np.float32).copy() / s
+        K[2, 2] = 1.0
+        K = jnp.asarray(K)
+        for d, i, j in cands:
+            if (i, j) in self._closure_pairs or (i, j) in self._tried_pairs:
+                continue
+            self._tried_pairs.add((i, j))
+            ni, nj = self.nodes[i], self.nodes[j]
+            out = np.asarray(self._closure_prog(
+                jnp.asarray(ni.gray[::s, ::s]), jnp.asarray(ni.mask[::s, ::s]),
+                jnp.asarray(ni.depth), jnp.asarray(ni.sigma),
+                jnp.asarray(nj.gray[::s, ::s]), jnp.asarray(nj.mask[::s, ::s]),
+                K,
+            ))
+            xi, resid = out[:6], float(out[6])
             if not (0.0 <= resid < self.closure_residual):
                 continue
             self.e_i.append(i)
             self.e_j.append(j)
-            self.e_z.append(np.asarray(tr.xi))
+            self.e_z.append(xi.astype(np.float32))
             self.e_w.append(self.W_CLOSURE)
             self._closure_pairs.add((i, j))
             self.closures += 1
@@ -592,8 +595,7 @@ class PoseGraphHarvester:
         cap = self.cfg.mapper.history_capacity
         T_before = [nd.T_emit.copy() for nd in self.nodes[-(cap + 1):]]
         xi0 = np.stack([
-            np.asarray(lie.se3_log(jnp.asarray(nd.T_emit)))
-            for nd in self.nodes
+            _nplie.se3_log(nd.T_emit) for nd in self.nodes
         ]).astype(np.float32)
         edges = PoseGraphEdges(
             i=jnp.asarray(np.asarray(self.e_i, np.int32)),
@@ -610,7 +612,7 @@ class PoseGraphHarvester:
         # Node poses move to the refined estimates (closure mining and the
         # final global pass both start from here).
         for nd, x in zip(self.nodes, xi_ref):
-            nd.T_emit = np.asarray(lie.se3_exp(jnp.asarray(x)))
+            nd.T_emit = _nplie.se3_exp(x).astype(np.float32)
         # Non-rigid perturbation bound (docstring): per consecutive pair
         # in the live window, delta = inv(rel_old) @ rel_new.
         T_after = [nd.T_emit for nd in self.nodes[-(cap + 1):]]
@@ -665,7 +667,7 @@ class PoseGraphHarvester:
     # ------------------------------------------------------------ finalize
 
     def finalize(self, times, poses, state=None,
-                 pg_cfg: PoseGraphConfig = PoseGraphConfig()):
+                 pg_cfg: PoseGraphConfig = None):
         """Mine closures, optimize, and return the refined (N, 4, 4)
         trajectory (the input when fewer than 2 keyframes exist)."""
         import numpy as np
@@ -681,8 +683,7 @@ class PoseGraphHarvester:
         self._mine_closures()
 
         xi0 = np.stack([
-            np.asarray(lie.se3_log(jnp.asarray(nd.T_emit)))
-            for nd in self.nodes
+            _nplie.se3_log(nd.T_emit) for nd in self.nodes
         ]).astype(np.float32)
         edges = PoseGraphEdges(
             i=jnp.asarray(np.asarray(self.e_i, np.int32)),
@@ -690,7 +691,10 @@ class PoseGraphHarvester:
             z=jnp.asarray(np.stack(self.e_z).astype(np.float32)),
             weight=jnp.asarray(np.asarray(self.e_w, np.float32)),
         )
-        xi_ref, costs = optimize_pose_graph(jnp.asarray(xi0), edges, pg_cfg)
+        xi_ref, costs = optimize_pose_graph(
+            jnp.asarray(xi0), edges,
+            pg_cfg if pg_cfg is not None else self.pg_cfg,
+        )
         refined = apply_refinement(
             times, poses, [nd.frame_idx for nd in self.nodes],
             np.asarray(xi_ref),
@@ -709,7 +713,7 @@ def apply_refinement(times, poses, kf_frame_idx, kf_xi_refined):
 
     poses = np.asarray(poses)
     out = poses.copy()
-    kf_T_new = [np.asarray(lie.se3_exp(jnp.asarray(x))) for x in kf_xi_refined]
+    kf_T_new = [_nplie.se3_exp(np.asarray(x)) for x in kf_xi_refined]
     kf_idx = list(kf_frame_idx)
     cur = -1
     for f in range(len(poses)):
