@@ -99,9 +99,14 @@ def _graph_cost(xi, edges: PoseGraphEdges):
     return jnp.sum(edges.weight * jnp.sum(r * r, axis=-1))
 
 
-def pose_graph_step(xi, lam, edges: PoseGraphEdges, cfg: PoseGraphConfig):
+def pose_graph_step(xi, lam, edges: PoseGraphEdges, cfg: PoseGraphConfig,
+                    n_real=None):
     """One Levenberg step with Jacobi preconditioning and accept/reject.
-    Returns (new_xi, new_lam, cost_at_xi)."""
+    Returns (new_xi, new_lam, cost_at_xi).  ``n_real`` (traced): number of
+    live nodes when the graph is bucket-padded (see ``optimize_pose_graph``)
+    — padded nodes get an identity diagonal block (no edges touch them, so
+    their raw block is all-zero and would sink the Cholesky) and solve to
+    a zero update."""
     n = xi.shape[0]
     r, Ji, Jj = _edge_terms(xi, edges)
     w = edges.weight
@@ -125,6 +130,9 @@ def pose_graph_step(xi, lam, edges: PoseGraphEdges, cfg: PoseGraphConfig):
 
     A = H.reshape(6 * n, 6 * n)
     A = A.at[:6, :6].add(jnp.eye(6, dtype=A.dtype))  # gauge block
+    if n_real is not None:
+        padded = jnp.repeat(jnp.arange(n) >= n_real, 6)
+        A = A + jnp.diag(jnp.where(padded, 1.0, 0.0).astype(A.dtype))
     diag = jnp.diagonal(A)
     A = A + jnp.diag(lam * diag)
     # Jacobi preconditioning: the f32 Cholesky of the raw system (mixed
@@ -150,13 +158,15 @@ def pose_graph_step(xi, lam, edges: PoseGraphEdges, cfg: PoseGraphConfig):
 
 @functools.partial(jax.jit, static_argnames="cfg")
 def optimize_pose_graph(
-    xi, edges: PoseGraphEdges, cfg: PoseGraphConfig = PoseGraphConfig()
+    xi, edges: PoseGraphEdges, cfg: PoseGraphConfig = PoseGraphConfig(),
+    n_real=None,
 ):
-    """Refine node twists.  Returns (xi_refined (N,6), costs (iters,))."""
+    """Refine node twists.  Returns (xi_refined (N,6), costs (iters,)).
+    ``n_real``: live-node count when inputs are bucket-padded."""
 
     def body(carry, _):
         x, lam = carry
-        x, lam, cost = pose_graph_step(x, lam, edges, cfg)
+        x, lam, cost = pose_graph_step(x, lam, edges, cfg, n_real=n_real)
         return (x, lam), cost
 
     (xi_out, _), costs = lax.scan(
@@ -164,6 +174,44 @@ def optimize_pose_graph(
         length=cfg.iterations,
     )
     return xi_out, costs
+
+
+def optimize_pose_graph_padded(xi0, e_i, e_j, e_z, e_w,
+                               cfg: PoseGraphConfig = PoseGraphConfig(),
+                               node_bucket: int = 16,
+                               edge_bucket: int = 128):
+    """Host-side wrapper: pad nodes/edges up to bucket multiples so the
+    jitted solve's shapes only change at bucket boundaries.  The live
+    pose-graph refinement grows by a few nodes/edges per firing; unpadded,
+    EVERY firing recompiled the whole solve (measured: the dominant cost
+    of --pose-graph-every through the CLI).  Padded nodes are identity
+    poses with no edges (inert — see pose_graph_step); padded edges are
+    weight-0 self-loops on the pinned node (zero contribution).  Takes
+    numpy lists/arrays; returns (xi_refined (N,6) numpy, costs numpy)."""
+    import numpy as np
+
+    n = len(xi0)
+    e = len(e_w)
+    n_pad = -(-max(n, 1) // node_bucket) * node_bucket
+    e_pad = -(-max(e, 1) // edge_bucket) * edge_bucket
+    xi_p = np.zeros((n_pad, 6), np.float32)
+    xi_p[:n] = np.asarray(xi0, np.float32)
+    i_p = np.zeros(e_pad, np.int32)
+    j_p = np.zeros(e_pad, np.int32)
+    z_p = np.zeros((e_pad, 6), np.float32)
+    w_p = np.zeros(e_pad, np.float32)
+    i_p[:e] = np.asarray(e_i, np.int32)
+    j_p[:e] = np.asarray(e_j, np.int32)
+    z_p[:e] = np.stack(e_z).astype(np.float32) if e else 0
+    w_p[:e] = np.asarray(e_w, np.float32)
+    edges = PoseGraphEdges(
+        i=jnp.asarray(i_p), j=jnp.asarray(j_p),
+        z=jnp.asarray(z_p), weight=jnp.asarray(w_p),
+    )
+    xi_ref, costs = optimize_pose_graph(
+        jnp.asarray(xi_p), edges, cfg, n_real=jnp.asarray(n, jnp.int32)
+    )
+    return np.asarray(xi_ref)[:n], np.asarray(costs)
 
 
 @jax.jit
@@ -597,16 +645,9 @@ class PoseGraphHarvester:
         xi0 = np.stack([
             _nplie.se3_log(nd.T_emit) for nd in self.nodes
         ]).astype(np.float32)
-        edges = PoseGraphEdges(
-            i=jnp.asarray(np.asarray(self.e_i, np.int32)),
-            j=jnp.asarray(np.asarray(self.e_j, np.int32)),
-            z=jnp.asarray(np.stack(self.e_z).astype(np.float32)),
-            weight=jnp.asarray(np.asarray(self.e_w, np.float32)),
+        xi_ref, _costs = optimize_pose_graph_padded(
+            xi0, self.e_i, self.e_j, self.e_z, self.e_w, self.pg_cfg
         )
-        xi_ref, _costs = optimize_pose_graph(
-            jnp.asarray(xi0), edges, self.pg_cfg
-        )
-        xi_ref = np.asarray(xi_ref)
         if not np.all(np.isfinite(xi_ref)):
             return None
         # Node poses move to the refined estimates (closure mining and the
@@ -685,14 +726,8 @@ class PoseGraphHarvester:
         xi0 = np.stack([
             _nplie.se3_log(nd.T_emit) for nd in self.nodes
         ]).astype(np.float32)
-        edges = PoseGraphEdges(
-            i=jnp.asarray(np.asarray(self.e_i, np.int32)),
-            j=jnp.asarray(np.asarray(self.e_j, np.int32)),
-            z=jnp.asarray(np.stack(self.e_z).astype(np.float32)),
-            weight=jnp.asarray(np.asarray(self.e_w, np.float32)),
-        )
-        xi_ref, costs = optimize_pose_graph(
-            jnp.asarray(xi0), edges,
+        xi_ref, costs = optimize_pose_graph_padded(
+            xi0, self.e_i, self.e_j, self.e_z, self.e_w,
             pg_cfg if pg_cfg is not None else self.pg_cfg,
         )
         refined = apply_refinement(
