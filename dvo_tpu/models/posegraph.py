@@ -178,13 +178,16 @@ def optimize_pose_graph(
 
 def optimize_pose_graph_padded(xi0, e_i, e_j, e_z, e_w,
                                cfg: PoseGraphConfig = PoseGraphConfig(),
-                               node_bucket: int = 16,
-                               edge_bucket: int = 128):
+                               node_bucket: int = 64,
+                               edge_bucket: int = 512):
     """Host-side wrapper: pad nodes/edges up to bucket multiples so the
     jitted solve's shapes only change at bucket boundaries.  The live
     pose-graph refinement grows by a few nodes/edges per firing; unpadded,
     EVERY firing recompiled the whole solve (measured: the dominant cost
-    of --pose-graph-every through the CLI).  Padded nodes are identity
+    of --pose-graph-every through the CLI; each compile is ~10-20 s, so
+    the buckets are sized to cover a typical sequence — 64 keyframes /
+    512 edges — with ONE compile, reused across runs by the persistent
+    cache).  Padded nodes are identity
     poses with no edges (inert — see pose_graph_step); padded edges are
     weight-0 self-loops on the pinned node (zero contribution).  Takes
     numpy lists/arrays; returns (xi_refined (N,6) numpy, costs numpy)."""
