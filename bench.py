@@ -368,7 +368,9 @@ def _kinect_frames(n):
     return (frames, [depth] * n, [np.full((h, w), 0.1, np.float32)] * n, K)
 
 
-def bench_rgbd(reps=3, chunk=16):
+def bench_rgbd(reps=3, chunk=64):
+    # chunk=64 (round 5): at 16 the per-dispatch tunnel overhead (~2 RTTs)
+    # was ~25% of the measurement; 64 frames amortize it below 3%.
     import jax
     import jax.numpy as jnp
 
