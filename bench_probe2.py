@@ -13,7 +13,8 @@ execution from tunnel RTT and fetch bandwidth.
 
 Usage: python bench_probe2.py [section ...]
 Sections: rtt mxu track map reg prop pipeline batched (default: all).
-Writes PROBE_r04.json with every measurement (round-3 artifact: PROBE_r03.json).
+Writes PROBE_r05_probe2.json with every measurement (earlier artifacts:
+PROBE_r03.json, PROBE_r04.json — committed immutable).
 """
 
 import json
@@ -64,14 +65,14 @@ def _watchdog():
 def _write_results():
     merged = {}
     try:
-        with open("PROBE_r04.json") as f:
+        with open("PROBE_r05_probe2.json") as f:
             merged = json.load(f)
     except Exception:
         pass
     merged.update(RESULTS)
-    with open("PROBE_r04.json", "w") as f:
+    with open("PROBE_r05_probe2.json", "w") as f:
         json.dump(merged, f, indent=1)
-    print("wrote PROBE_r04.json", flush=True)
+    print("wrote PROBE_r05_probe2.json", flush=True)
 
 
 def _check_budget():
