@@ -228,6 +228,14 @@ def main(argv=None):
         "fps": round(float(1.0 / np.median(secs)), 2) if len(secs) else None,
         "trajectory": args.out,
     }
+    if args.chunk and len(ts) < 5 * args.chunk:
+        # With few chunks the median per-frame wall still carries the
+        # one-time program compile / cache load (20-200 s cold on this
+        # host); steady state needs a longer run or a warm .jax_cache.
+        report["note"] = (
+            "short run: fps includes compile/cache-load amortization; "
+            "steady-state throughput needs >= 5 chunks"
+        )
     if args.gt:
         gt_t, gt_xyz = read_tum(args.gt)
         est_xyz = poses[:, :3, 3]
