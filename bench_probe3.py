@@ -2,22 +2,19 @@
 
 Findings these probes established (full story in BASELINE.md):
 
-1. THE r4 "FRAME BUILD" ATTRIBUTION WAS A MISATTRIBUTION.  A scan body
-   doing ONLY a strided slice + sum over stacked 512x424 frames costs
-   ~2.2 ms/frame: the dominant hidden cost of the *_run drivers was the
-   per-frame strided gather of full-resolution HBM-resident chunk stacks
-   inside the scan, not the pyramid/gradient ops.  Hoisting the 2**culls
-   decimation out of the scan (models/odometry._cull_chunk — one batched
-   stride over the whole chunk, bit-identical) took RGB-D from 5.32 to
-   ~3.0 ms/frame and mono from 2.34 to ~1.95 ms/frame.
+1. THE r4 "FRAME BUILD" ATTRIBUTION WAS A MISATTRIBUTION.  The dominant
+   hidden cost of the *_run drivers was per-frame processing of
+   full-resolution HBM-resident chunk stacks inside the scan; hoisting
+   the 2**culls decimation out of the scan (models/odometry._cull_chunk,
+   bit-identical) took RGB-D 5.32 -> 2.9-3.0 ms/frame and mono
+   2.34 -> 1.87-1.94 — reproduced across sessions.  (The slice+sum scan
+   microbench here is session-sensitive — 2.2 vs 0.27 ms/frame observed
+   — the pipeline delta is the evidence.)
 
-2. THE FUSED BUILD KERNEL IS EXACT AND 2x FASTER STANDALONE, NEUTRAL
-   IN-PIPELINE.  ops/pallas/framebuild.py (one-hot HIGHEST selection
-   matmuls + pltpu.roll stencils) is bit-identical to the XLA build and
-   measures ~0.54 vs ~1.05 ms/build amortized standalone — but the full
-   pipeline shows no difference (XLA already fuses/hides the build once
-   the cull is hoisted).  Kept as the TPU default: equal measured perf,
-   robust to XLA fusion regressions, single launch.
+2. THE FUSED BUILD KERNEL IS EXACT AND 2x FASTER STANDALONE,
+   NEUTRAL-TO-SLIGHTLY-SLOWER IN-PIPELINE (five A/Bs): the pipeline
+   default is the XLA build; DVO_FUSED_BUILD=1 opts into the kernel
+   (models/frame._use_fused_build).
 
 3. Mosaic CANNOT lower strided slices, uint8->f32 casts, or lane-split
    reshapes in kernels (probed; compiler errors), and one-hot f32
@@ -104,6 +101,7 @@ def main():
     mstate0 = monocular_init(jnp.asarray(frames[0]), mask2, K2d,
                              jax.random.PRNGKey(0), mcfg)
 
+    orig_use_fused = frame_mod._use_fused_build
     for fused in (False, True):
         frame_mod._use_fused_build = (lambda v: (lambda: v))(fused)
         tag = "fused" if fused else "xla"
@@ -123,7 +121,7 @@ def main():
         RESULTS[f"mono_run_ms_per_frame_{tag}"] = round((t - rtt) / 96, 3)
         print(f"{tag}: rgbd {RESULTS[f'rgbd_run_ms_per_frame_{tag}']} ms, "
               f"mono {RESULTS[f'mono_run_ms_per_frame_{tag}']} ms", flush=True)
-    frame_mod._use_fused_build = lambda: jax.default_backend() == "tpu"
+    frame_mod._use_fused_build = orig_use_fused
 
     # --- fused kernel standalone (finding 2) ---
     from dvo_tpu.ops.pallas.framebuild import build_pyramid_planes
@@ -166,13 +164,19 @@ def main():
 
     t = timed_ms(jax.jit(xloop), bx, bm, bd, bs)
     RESULTS["framebuild_xla_ms_amortized"] = round(t / 50, 4)
-    frame_mod._use_fused_build = lambda: jax.default_backend() == "tpu"
+    frame_mod._use_fused_build = orig_use_fused
     print(f"framebuild standalone: kernel "
           f"{RESULTS['framebuild_kernel_ms_amortized']} ms vs xla "
           f"{RESULTS['framebuild_xla_ms_amortized']} ms", flush=True)
 
+    try:
+        with open("PROBE_r05.json") as f:
+            merged = json.load(f)
+    except Exception:
+        merged = {}
+    merged.update(RESULTS)
     with open("PROBE_r05.json", "w") as f:
-        json.dump(RESULTS, f, indent=1)
+        json.dump(merged, f, indent=1)
     print(json.dumps(RESULTS), flush=True)
 
 

@@ -361,6 +361,9 @@ class PoseGraphHarvester:
         # that bounds ring-depth staleness — see _refine_nodes docstring).
         self.max_rel_corr_t = 0.0   # metres
         self.max_rel_corr_r = 0.0   # degrees
+        # Deferred ring snapshots that arrived stale (slot overwritten
+        # before the chunk-end fetch — see absorb_ring).
+        self.stale_snaps = 0
         # Chunked-driver bookkeeping (on_chunk_row/absorb_ring): ring pushes
         # seen so far (the init keyframe is push 0) and deferred
         # (node_index, ring_slot) depth/sigma snapshot requests.
@@ -497,13 +500,23 @@ class PoseGraphHarvester:
             and len(self.nodes) % self.refine_every == 0
         )
 
-    def absorb_ring(self, ring_depth, ring_sigma):
+    def absorb_ring(self, ring_depth, ring_sigma, ring_kf_id=None):
         """Resolve deferred depth/sigma snapshots from a host copy of the
-        keyframe ring (fetched once per chunk — slots retired within a
-        chunk survive at least capacity-many subsequent pushes)."""
+        keyframe ring (fetched once per chunk).  A slot is only valid if
+        it still holds the retired keyframe — a chunk that promotes more
+        keyframes than the ring's capacity overwrites early retirements
+        before the chunk-end fetch — so ``ring_kf_id`` (when provided) is
+        checked against the node's frame id; stale slots leave the node
+        without a depth snapshot (it is then simply skipped by closure
+        mining, a graceful degradation counted in ``stale_snaps``)."""
         import numpy as np
 
         for node_idx, slot in self._pending_snaps:
+            if ring_kf_id is not None:
+                expect = self.nodes[node_idx].frame_idx
+                if int(ring_kf_id[slot]) != int(expect):
+                    self.stale_snaps += 1
+                    continue
             self.nodes[node_idx].depth = np.asarray(ring_depth[slot]).copy()
             self.nodes[node_idx].sigma = np.asarray(ring_sigma[slot]).copy()
         self._pending_snaps = []

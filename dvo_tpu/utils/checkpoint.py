@@ -20,6 +20,12 @@ import jax
 import numpy as np
 
 
+# Leaf names (last path segment) added to state pytrees AFTER the
+# checkpoint format shipped; these — and only these — load as template
+# init values when absent (graceful forward-compat).
+_FORWARD_COMPAT_LEAVES = {"kf_id"}   # KeyframeHistory.kf_id, round 5
+
+
 def _leaf_key(path) -> str:
     parts = []
     for p in path:
@@ -53,19 +59,22 @@ def load_state(path: str, template: Any) -> Any:
         for p, leaf in leaves_t:
             key = _leaf_key(p)
             if key not in data:
-                # Forward-compat: the state gained a field after this
-                # checkpoint was written (e.g. history.kf_id, round 5).
-                # Resume with the template's init value — correctness
-                # degrades gracefully (kf_id only addresses live
-                # pose-graph write-backs) — but say so.
-                import warnings
+                # Forward-compat is scoped to the explicit allowlist of
+                # fields ADDED after checkpoints in the wild were written
+                # — any other missing leaf means a truncated/mismatched
+                # checkpoint and must fail fast, not resume from init
+                # values.
+                if key.split("/")[-1] in _FORWARD_COMPAT_LEAVES:
+                    import warnings
 
-                warnings.warn(
-                    f"checkpoint {path} missing leaf {key!r}; using the "
-                    "template's init value (checkpoint predates the field)"
-                )
-                new_leaves.append(jax.numpy.asarray(leaf))
-                continue
+                    warnings.warn(
+                        f"checkpoint {path} missing leaf {key!r}; using "
+                        "the template's init value (checkpoint predates "
+                        "the field)"
+                    )
+                    new_leaves.append(jax.numpy.asarray(leaf))
+                    continue
+                raise KeyError(f"checkpoint {path} missing leaf {key!r}")
             arr = data[key]
             want = np.asarray(leaf)
             if arr.shape != want.shape:

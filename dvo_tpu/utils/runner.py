@@ -356,8 +356,13 @@ def run_monocular(
 
             @jax.jit
             def pack_ring(hist):
+                # kf_id rides along (exact in f32: frame ids << 2^24) so
+                # absorb_ring can DETECT slots overwritten between a
+                # retirement and this fetch (possible whenever a chunk
+                # promotes more keyframes than the ring holds).
                 return jnp.concatenate(
-                    [hist.depth.ravel(), hist.sigma.ravel()]
+                    [hist.depth.ravel(), hist.sigma.ravel(),
+                     hist.kf_id.astype(jnp.float32)]
                 )
 
         def on_frame(step_idx, row):
@@ -419,7 +424,8 @@ def run_monocular(
             hw = h * w
             harvester.absorb_ring(
                 ring[:cap * hw].reshape(cap, h, w),
-                ring[cap * hw:].reshape(cap, h, w),
+                ring[cap * hw:2 * cap * hw].reshape(cap, h, w),
+                ring[2 * cap * hw:].astype(np.int64),
             )
             if refine_due[0]:
                 refine_due[0] = False
@@ -450,6 +456,16 @@ def run_monocular(
                     jnp.asarray(max_id, jnp.int32),
                     jnp.asarray(corr.astype(np.float32)),
                 )
+                # Rows ALREADY drained on the old chain (the refined
+                # keyframe's own row and any frames after it in its
+                # chunk) must be corrected in place, or finalize's
+                # apply_refinement — which trusts inv(poses[kf]) @
+                # poses[f] as tracked relative motion — applies the live
+                # correction twice to the frames that follow (note
+                # corr @ T_old(kf) == T_new(kf), so the keyframe row
+                # lands exactly on its refined pose).
+                for fi_done in range(max_id, len(poses)):
+                    poses[fi_done] = corr @ poses[fi_done]
                 corr_records.append(
                     (max_id, 1 + dispatched[0] * chunk, corr)
                 )
@@ -537,11 +553,12 @@ def run_monocular(
         if use_chunk and harvester._pending_snaps:
             cap = cfg_dev.mapper.history_capacity
             ring = np.asarray(pack_ring(state.history))
-            hw = ring.size // (2 * cap)
             hh, ww = state.ref.base.shape
+            hw = hh * ww
             harvester.absorb_ring(
                 ring[:cap * hw].reshape(cap, hh, ww),
-                ring[cap * hw:].reshape(cap, hh, ww),
+                ring[cap * hw:2 * cap * hw].reshape(cap, hh, ww),
+                ring[2 * cap * hw:].astype(np.int64),
             )
         pose_arr, pg_costs = harvester.finalize(np.asarray(times), pose_arr, state)
         if verbose and pg_costs.size:
