@@ -134,11 +134,19 @@ def pose_graph_step(xi, lam, edges: PoseGraphEdges, cfg: PoseGraphConfig,
         padded = jnp.repeat(jnp.arange(n) >= n_real, 6)
         A = A + jnp.diag(jnp.where(padded, 1.0, 0.0).astype(A.dtype))
     diag = jnp.diagonal(A)
-    A = A + jnp.diag(lam * diag)
+    # Absolute floor alongside the relative Levenberg ridge: a component
+    # no edge constrains (exactly-degenerate graphs — e.g. a pure-
+    # translation chain at identity rotation, where the log-map Jacobian
+    # zeroes the aligned rotation axis) has a zero diagonal; without the
+    # floor the preconditioned Cholesky factors a singular matrix, d goes
+    # NaN, and the isfinite guard silently zeroes EVERY step (round-5
+    # find: the solver no-opped on such graphs while real-imagery graphs,
+    # whose rotations excite all axes, masked it).
+    A = A + jnp.diag(lam * diag + 1e-8)
     # Jacobi preconditioning: the f32 Cholesky of the raw system (mixed
     # translation/rotation scales) loses enough digits to turn a near-zero-
     # residual solve into a random walk.
-    D = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-12))
+    D = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-8))
     As = A * D[:, None] * D[None, :]
     y = jax.scipy.linalg.cho_solve(
         jax.scipy.linalg.cho_factor(As), D * g.reshape(6 * n)

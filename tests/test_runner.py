@@ -287,12 +287,56 @@ def test_pose_graph_chunked_periodic_live(monkeypatch):
     created = []
     orig = pg.PoseGraphHarvester
 
+    from dvo_tpu.utils import oracle as nplie
+
     class Capture(orig):
+        """Harvester + one INJECTED perturbing closure edge: logicool0
+        tracks so consistently that real live corrections are sub-um and
+        every invariant below is vacuously true; a 3 cm-offset high-weight
+        edge forces material corrections so the chain-consistency gate
+        actually discriminates (verified: reverting the retro-correction
+        fix fails this test)."""
+
         def __init__(self, *a, **k):
             super().__init__(*a, **k)
             created.append(self)
+            self._injected = False
+            self.refine_log = []   # (trigger node index, refined T_emit)
+
+        def refine_live_chunked(self):
+            out = super().refine_live_chunked()
+            if out is not None:
+                self.refine_log.append(
+                    (len(self.nodes) - 1, self.nodes[-1].T_emit.copy())
+                )
+            return out
+
+        def on_chunk_row(self, frame_idx, row, gray, mask, T_emit=None):
+            due = super().on_chunk_row(frame_idx, row, gray, mask,
+                                       T_emit=T_emit)
+            if not self._injected and len(self.nodes) == 5:
+                z = nplie.se3_log(
+                    np.linalg.inv(self.nodes[0].T_emit)
+                    @ self.nodes[-1].T_emit
+                ).astype(np.float32)
+                z[0] += 0.03
+                self.e_i.append(0)
+                self.e_j.append(len(self.nodes) - 1)
+                self.e_z.append(z)
+                self.e_w.append(self.W_CLOSURE)
+                self._injected = True
+            return due
 
     monkeypatch.setattr(pg, "PoseGraphHarvester", Capture)
+    captured = {}
+    orig_apply = pg.apply_refinement
+
+    def snoop(times, poses_in, kf_idx, kf_xi):
+        captured["poses"] = np.asarray(poses_in).copy()
+        captured["kf"] = list(kf_idx)
+        return orig_apply(times, poses_in, kf_idx, kf_xi)
+
+    monkeypatch.setattr(pg, "apply_refinement", snoop)
     cfg = DVOConfig.monocular()
     calib = Calibration.logicool()
     n = 40
@@ -305,4 +349,35 @@ def test_pose_graph_chunked_periodic_live(monkeypatch):
     RtR = np.einsum("nij,nik->njk", poses[:, :3, :3], poses[:, :3, :3])
     np.testing.assert_allclose(RtR, np.broadcast_to(np.eye(3), RtR.shape),
                                atol=1e-4)
-    assert created and created[0].live_refinements >= 1
+    h = created[0]
+    assert h.live_refinements >= 1
+
+    # Chain-consistency invariant finalize relies on (the round-5 review
+    # bug): the PRE-finalize emitted chain must agree with the tracked
+    # odometry edges between consecutive keyframes up to the bounded
+    # NON-RIGID part of applied live corrections — a live correction
+    # applied to only part of a keyframe interval (the original defect)
+    # shows up here as a full-correction-magnitude kink.
+    from dvo_tpu.utils import oracle as nplie
+
+    raw = captured["poses"]
+    kf = captured["kf"]
+    odo = [
+        (i, j, z) for i, j, z, w in zip(h.e_i, h.e_j, h.e_z, h.e_w)
+        if w == h.W_ODOM and j == i + 1
+    ]
+    assert h.max_rel_corr_t > 1e-5  # the injected edge really bent the chain
+    bound_t = max(h.max_rel_corr_t, 1e-4) * 1.5 + 1e-3
+    for i, j, z in odo:
+        rel = np.linalg.inv(raw[kf[i]]) @ raw[kf[j]]
+        delta = nplie.se3_log(np.linalg.inv(nplie.se3_exp(z)) @ rel)
+        assert np.linalg.norm(delta[:3]) < bound_t, (i, j, delta)
+    # The sharp form of the invariant: the last live refinement's trigger
+    # keyframe must have its EMITTED row retro-corrected exactly onto its
+    # refined pose (corr @ T_old == T_new by construction) — this is what
+    # finalize's corr = T_final @ inv(poses[kf]) relies on.  Verified to
+    # fail (entry error == the live-correction magnitude) when the
+    # in-place retro pass in runner.apply_pending is disabled.
+    assert h.refine_log
+    k_last, T_ref = h.refine_log[-1]
+    np.testing.assert_allclose(raw[kf[k_last]], T_ref, atol=2e-6)
