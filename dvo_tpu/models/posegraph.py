@@ -58,6 +58,11 @@ class PoseGraphEdges:
         return self.i.shape[0]
 
 
+# Shared by the absolute diagonal floor and the Jacobi clamp in
+# pose_graph_step — see the comment there before changing either.
+_DIAG_FLOOR = 1e-8
+
+
 @dataclasses.dataclass(frozen=True)
 class PoseGraphConfig:
     iterations: int = 10
@@ -134,19 +139,26 @@ def pose_graph_step(xi, lam, edges: PoseGraphEdges, cfg: PoseGraphConfig,
         padded = jnp.repeat(jnp.arange(n) >= n_real, 6)
         A = A + jnp.diag(jnp.where(padded, 1.0, 0.0).astype(A.dtype))
     diag = jnp.diagonal(A)
-    # Absolute floor alongside the relative Levenberg ridge: a component
-    # no edge constrains (exactly-degenerate graphs — e.g. a pure-
-    # translation chain at identity rotation, where the log-map Jacobian
-    # zeroes the aligned rotation axis) has a zero diagonal; without the
-    # floor the preconditioned Cholesky factors a singular matrix, d goes
-    # NaN, and the isfinite guard silently zeroes EVERY step (round-5
-    # find: the solver no-opped on such graphs while real-imagery graphs,
-    # whose rotations excite all axes, masked it).
-    A = A + jnp.diag(lam * diag + 1e-8)
+    # Absolute floor alongside the relative Levenberg ridge.  Zero
+    # diagonals occur in practice (round-5 find): ``jacfwd`` through
+    # se3_log's small-angle ``where`` branches returns a ZERO rotation-
+    # block derivative at exactly-zero rotation residual (a branch-
+    # gradient artifact, not true geometry — the analytic Jacobian is
+    # ~identity there), so a node whose every incident edge has exactly
+    # zero rotation residual (synthetic axis-aligned graphs; real
+    # imagery's jittery rotations mask it) loses those diagonals, the
+    # preconditioned Cholesky factors a singular matrix, d goes NaN, and
+    # the isfinite guard silently zeroes EVERY step.  With the floor such
+    # DOFs simply solve to a zero update — which is also the CORRECT
+    # update, since their residuals are exactly zero.  _DIAG_FLOOR must
+    # match the preconditioner clamp below: the pair makes a floored
+    # row's scaled diagonal exactly 1 (1e-8 * 1/sqrt(1e-8)^2); clamping
+    # tighter than the floor would reintroduce an ~1e4 condition spike.
+    A = A + jnp.diag(lam * diag + _DIAG_FLOOR)
     # Jacobi preconditioning: the f32 Cholesky of the raw system (mixed
     # translation/rotation scales) loses enough digits to turn a near-zero-
     # residual solve into a random walk.
-    D = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-8))
+    D = 1.0 / jnp.sqrt(jnp.maximum(diag, _DIAG_FLOOR))
     As = A * D[:, None] * D[None, :]
     y = jax.scipy.linalg.cho_solve(
         jax.scipy.linalg.cho_factor(As), D * g.reshape(6 * n)

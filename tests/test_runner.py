@@ -358,8 +358,6 @@ def test_pose_graph_chunked_periodic_live(monkeypatch):
     # NON-RIGID part of applied live corrections — a live correction
     # applied to only part of a keyframe interval (the original defect)
     # shows up here as a full-correction-magnitude kink.
-    from dvo_tpu.utils import oracle as nplie
-
     raw = captured["poses"]
     kf = captured["kf"]
     odo = [
