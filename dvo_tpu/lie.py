@@ -70,9 +70,19 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """(..., 3, 3) -> (..., 3).  Reference se3.cpp:31-43: theta from the
-    trace, axis from the antisymmetric part; returns 0 below the small-angle
-    threshold (the reference does not special-case theta ~ pi either; we
-    clamp the trace to keep acos finite)."""
+    trace, axis from the antisymmetric part (the reference does not
+    special-case theta ~ pi either; we clamp the trace to keep acos
+    finite).
+
+    Small-angle branch: ``0.5 * vee`` — NOT a hard zero.  The reference
+    returns exact 0 below threshold; 0.5*vee agrees with it to O(th^3)
+    in value (th < 1e-6 rad) but, unlike the constant, carries the
+    correct derivative.  A zero branch made ``jacfwd`` through
+    log-at-identity return a ZERO rotation block (should be I), which
+    zeroed pose-graph normal-equation diagonals for nodes whose edges
+    all had exactly-zero rotation residual (round-5 find; the arccos
+    gradient singularity at trace -> 3 is guarded by the double-where
+    ``ths``)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_th = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0)
     th = jnp.arccos(cos_th)
@@ -84,13 +94,13 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    small = (th < _SMALL)[..., None]
-    # th / (2 sin th) -> 1/2 as th -> 0.
-    sin_th = jnp.sin(th)
-    scale = jnp.where(
-        small[..., 0], 0.5, th / jnp.where(th < _SMALL, 1.0, 2.0 * sin_th)
-    )[..., None]
-    return jnp.where(small, jnp.zeros_like(vee), scale * vee)
+    small = th < _SMALL
+    # th / (2 sin th) -> 1/2 as th -> 0; ths guards BOTH the value and
+    # the gradient of the untaken exact branch (d(arccos)/d(trace) is
+    # singular exactly at identity — 0 * inf = NaN without the guard).
+    ths = jnp.where(small, 1.0, th)
+    scale = jnp.where(small, 0.5, ths / (2.0 * jnp.sin(ths)))[..., None]
+    return scale * vee
 
 
 def _v_coeffs(w: jnp.ndarray):
