@@ -118,3 +118,80 @@ def test_apply_refinement_corrects_interframes():
     np.testing.assert_allclose(out[4][1, 3], 0.05, atol=1e-5)
     # Frame 3 inherits keyframe 1's (identity) correction.
     np.testing.assert_allclose(out[3], poses[3], atol=1e-5)
+
+
+def test_apply_live_correction_slot_semantics():
+    """Device write-back of a chunked live refinement
+    (posegraph.apply_live_correction): slots still holding refined
+    keyframes (kf_id match) take their refined twist exactly; slots
+    promoted AFTER the refinement (kf_id > max_id) move rigidly by the
+    newest node's correction; the never-refined init keyframe and empty
+    slots keep their twist; ref follows the ring head."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from dvo_tpu import lie
+    from dvo_tpu.config import DVOConfig
+    from dvo_tpu.models.odometry import monocular_init
+    from dvo_tpu.models.posegraph import apply_live_correction
+
+    cfg = DVOConfig(
+        pyramid=dc.replace(DVOConfig().pyramid, levels=2, culls=0)
+    )
+    gray = jnp.zeros((16, 32), jnp.float32)
+    mask = jnp.ones((16, 32), bool)
+    K = jnp.asarray(np.array([[30.0, 0, 16], [0, 30.0, 8], [0, 0, 1]],
+                             np.float32))
+    state = monocular_init(gray, mask, K, jax.random.PRNGKey(0), cfg)
+    cap = cfg.mapper.history_capacity
+    # Hand-build a ring occupancy: slot 0 = init kf (id 0, push 0);
+    # slots 1..3 = refined-era keyframes (ids 3, 7, 11); slot 4 = a
+    # keyframe promoted AFTER the refinement (id 15) and current head.
+    ids = np.full(cap, -1, np.int32)
+    xi = np.zeros((cap, 6), np.float32)
+    for slot, fid in ((0, 0), (1, 3), (2, 7), (3, 11), (4, 15)):
+        ids[slot] = fid
+        xi[slot, 0] = 0.01 * fid
+    hist = dc.replace(
+        state.history,
+        kf_id=jnp.asarray(ids),
+        xi=jnp.asarray(xi),
+        head=jnp.asarray(4, jnp.int32),
+        count=jnp.asarray(5, jnp.int32),
+    )
+    state = dc.replace(state, history=hist)
+
+    xi_ref_slot = np.zeros((cap, 6), np.float32)
+    id_slot = np.full(cap, -2, np.int32)
+    for slot, fid in ((1, 3), (2, 7), (3, 11)):
+        xi_ref_slot[slot] = [0.01 * fid + 0.005, 0.002, 0, 0, 0, 0]
+        id_slot[slot] = fid
+    # Also claim slot 4 held id 13 at refine time (since overwritten by
+    # id 15) — must NOT match.
+    xi_ref_slot[4] = [9.9, 9.9, 9.9, 0, 0, 0]
+    id_slot[4] = 13
+    corr = np.eye(4, dtype=np.float32)
+    corr[0, 3] = 0.005   # newest refined node's left-correction
+
+    out = apply_live_correction(
+        state, jnp.asarray(xi_ref_slot), jnp.asarray(id_slot),
+        jnp.asarray(11, jnp.int32), jnp.asarray(corr),
+    )
+    new_xi = np.asarray(out.history.xi)
+    # Matched slots -> refined twists exactly.
+    for slot, fid in ((1, 3), (2, 7), (3, 11)):
+        np.testing.assert_allclose(new_xi[slot], xi_ref_slot[slot],
+                                   atol=1e-6)
+    # Newer slot (id 15 > max_id 11) -> rigid corr of its old pose, NOT
+    # the stale claimed slot value.
+    expect = np.asarray(lie.se3_log(
+        jnp.asarray(corr) @ lie.se3_exp(jnp.asarray(xi[4]))
+    ))
+    np.testing.assert_allclose(new_xi[4], expect, atol=1e-6)
+    # Init keyframe (id 0 <= max_id, unmatched) and empty slots unchanged.
+    np.testing.assert_allclose(new_xi[0], xi[0], atol=0)
+    np.testing.assert_allclose(new_xi[5:], xi[5:], atol=0)
+    # Ref follows the head slot.
+    np.testing.assert_allclose(np.asarray(out.ref.xi), new_xi[4], atol=0)
