@@ -74,15 +74,17 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     special-case theta ~ pi either; we clamp the trace to keep acos
     finite).
 
-    Small-angle branch: ``0.5 * vee`` — NOT a hard zero.  The reference
-    returns exact 0 below threshold; 0.5*vee agrees with it to O(th^3)
-    in value (th < 1e-6 rad) but, unlike the constant, carries the
-    correct derivative.  A zero branch made ``jacfwd`` through
-    log-at-identity return a ZERO rotation block (should be I), which
-    zeroed pose-graph normal-equation diagonals for nodes whose edges
-    all had exactly-zero rotation residual (round-5 find; the arccos
-    gradient singularity at trace -> 3 is guarded by the double-where
-    ``ths``)."""
+    Small-angle branch: VALUE stays the reference's exact zero (th <
+    1e-6 rad), but the GRADIENT is that of ``0.5 * vee`` via the
+    stop-gradient identity ``x - stop_grad(x)``.  A plain constant-zero
+    branch made ``jacfwd`` through log-at-identity return a ZERO
+    rotation block (should be I), which zeroed pose-graph
+    normal-equation diagonals for nodes whose edges all had exactly-zero
+    rotation residual (round-5 find); changing the VALUE instead
+    re-rolled the cross-compilation float noise that several
+    parity-tolerance gates are calibrated against, so value-compat is
+    kept.  The arccos gradient singularity at trace -> 3 is guarded by
+    the double-where ``ths``."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_th = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0)
     th = jnp.arccos(cos_th)
@@ -100,7 +102,11 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     # singular exactly at identity — 0 * inf = NaN without the guard).
     ths = jnp.where(small, 1.0, th)
     scale = jnp.where(small, 0.5, ths / (2.0 * jnp.sin(ths)))[..., None]
-    return scale * vee
+    out = scale * vee
+    # Zero VALUE below threshold (reference compat) with the out-branch
+    # derivative preserved: x - stop_gradient(x) is 0 with grad(x).
+    zeroed = out - lax.stop_gradient(out)
+    return jnp.where(small[..., None], zeroed, out)
 
 
 def _v_coeffs(w: jnp.ndarray):
